@@ -1,0 +1,335 @@
+"""Alignment file I/O: FASTA / MSF / Clustal readers and writers.
+
+Byte-compatible with the reference readers/writers in ``lib/src/msa_io.c``:
+
+  * format autodetection over the first 100 lines (msa_io.c:248-346)
+  * FASTA: names are the full header line after '>', including spaces
+    (msa_io.c:412-481); alpha chars are residues, punctuation characters
+    count as gaps before the next residue
+  * MSF: names from "Name: ... Len:" header lines; sequence block lines
+    matched by name prefix (msa_io.c:565-664)
+  * Clustal: first line skipped, blocks reset at blank lines
+  * writers: 60-column FASTA wrap; Clustal with "Kalign (version)" header;
+    GCG MSF with checksums and date header (msa_io.c:668-1150)
+"""
+
+import time
+from typing import List, Optional, Tuple
+
+from kalign_tpu.core.msa import (
+    Msa,
+    MsaSeq,
+    _ispunct,
+    gcg_checksum,
+    gcg_mult_checksum,
+)
+from kalign_tpu.core import alphabet as alpha
+from kalign_tpu.version import KALIGN_COMPAT_VERSION
+
+FORMAT_FA = 0
+FORMAT_MSF = 1
+FORMAT_CLU = 2
+FORMAT_DETECT_FAIL = 3
+
+MSA_NAME_LEN = 256
+
+
+def _clean_lines(text: str) -> List[str]:
+    """Reference reads with getline and truncates each line at the first
+    control character (msa_io.c:376-395)."""
+    out = []
+    for raw in text.split("\n"):
+        cut = len(raw)
+        for i, ch in enumerate(raw):
+            if ord(ch) < 32 or ord(ch) == 127:
+                cut = i
+                break
+        out.append(raw[:cut])
+    # split("\n") leaves a trailing empty element when text ends with \n;
+    # getline would not produce that extra line.
+    if text.endswith("\n") and out and out[-1] == "":
+        out.pop()
+    return out
+
+
+def detect_format(lines: List[str]) -> int:
+    hints = [0, 0, 0]
+    for line in lines[:100]:
+        if line.startswith(">"):
+            hints[0] += 1
+        if "multiple sequence alignment" in line or "CLUSTAL W" in line or "CLUSTAL O" in line:
+            hints[2] += 1
+        if ("!!AA_MULTIPLE_ALIGNMENT" in line or "!!NA_MULTIPLE_ALIGNMENT" in line
+                or "MSF:" in line):
+            hints[1] += 1
+    nset = sum(1 for h in hints if h)
+    if nset == 0 or nset > 1:
+        fmt = FORMAT_DETECT_FAIL
+    if hints[0]:
+        fmt = FORMAT_FA
+    if hints[1]:
+        fmt = FORMAT_MSF
+    if hints[2]:
+        fmt = FORMAT_CLU
+    if nset == 0:
+        fmt = FORMAT_DETECT_FAIL
+    return fmt
+
+
+# ---------------------------------------------------------------------------
+# readers
+# ---------------------------------------------------------------------------
+
+def _scan_residues(msa: Msa, sq: MsaSeq, residues: List[str], text: str):
+    for ch in text:
+        msa.letter_freq[min(ord(ch), 127)] += 1
+        if ch.isalpha() and ord(ch) < 128:
+            residues.append(ch)
+            sq.gaps.append(0)
+        elif _ispunct(ch):
+            sq.gaps[-1] += 1
+
+
+def read_fasta_lines(lines: List[str]) -> Msa:
+    msa = Msa()
+    sq: Optional[MsaSeq] = None
+    residues: List[str] = []
+
+    def flush():
+        if sq is not None:
+            sq.seq = "".join(residues)
+            sq.len = len(sq.seq)
+
+    for line in lines:
+        if line.startswith(">"):
+            flush()
+            sq = MsaSeq(name=line[1:])
+            sq.gaps = [0]
+            residues = []
+            msa.sequences.append(sq)
+        elif sq is not None:
+            _scan_residues(msa, sq, residues, line)
+        else:
+            for ch in line:
+                msa.letter_freq[min(ord(ch), 127)] += 1
+                if ch.isalpha():
+                    raise ValueError("Encountered a sequence before encountering its name")
+    flush()
+    return msa
+
+
+def read_clu_lines(lines: List[str]) -> Msa:
+    msa = Msa()
+    seqs: List[MsaSeq] = []
+    residues: List[List[str]] = []
+    active = 0
+    for line in lines[1:]:
+        if not line:
+            active = 0
+            continue
+        if line[0].isspace():
+            continue
+        # name = chars up to first space (truncated at MSA_NAME_LEN-1)
+        j = len(line)
+        for i, ch in enumerate(line):
+            if i == MSA_NAME_LEN - 1 or ch.isspace():
+                j = i
+                break
+        name = line[:j]
+        if active == len(seqs):
+            sq = MsaSeq(name=name)
+            sq.gaps = [0]
+            seqs.append(sq)
+            residues.append([])
+        sq = seqs[active]
+        _scan_residues(msa, sq, residues[active], line[j:])
+        active += 1
+    for sq, res in zip(seqs, residues):
+        sq.seq = "".join(res)
+        sq.len = len(sq.seq)
+    msa.sequences = seqs
+    return msa
+
+
+def read_msf_lines(lines: List[str]) -> Msa:
+    msa = Msa()
+    seqs: List[MsaSeq] = []
+    residues: List[List[str]] = []
+    li = 0
+    for nl, line in enumerate(lines):
+        li = nl + 1
+        if "//" in line:
+            break
+        if "Name:" in line and "Len:" in line:
+            p = line[line.index("Name:") + 5:].lstrip()
+            j = len(p)
+            for i, ch in enumerate(p):
+                if i == MSA_NAME_LEN - 1 or ch.isspace():
+                    j = i
+                    break
+            sq = MsaSeq(name=p[:j])
+            sq.gaps = [0]
+            seqs.append(sq)
+            residues.append([])
+    active = 0
+    for line in lines[li:]:
+        if not line:
+            active = 0
+            continue
+        if line[0].isspace():
+            continue
+        sq = seqs[active]
+        _scan_residues(msa, sq, residues[active], line[len(sq.name):])
+        active += 1
+    for sq, res in zip(seqs, residues):
+        sq.seq = "".join(res)
+        sq.len = len(sq.seq)
+    msa.sequences = seqs
+    return msa
+
+
+def read_alignment_text(text: str) -> Msa:
+    lines = _clean_lines(text)
+    if not lines or (len(lines[0]) == 0):
+        raise ValueError("No sequences were found in the input.")
+    fmt = detect_format(lines)
+    if fmt == FORMAT_FA:
+        msa = read_fasta_lines(lines)
+    elif fmt == FORMAT_MSF:
+        msa = read_msf_lines(lines)
+    elif fmt == FORMAT_CLU:
+        msa = read_clu_lines(lines)
+    else:
+        raise ValueError("Could not detect input format.")
+    msa.detect_alphabet()
+    msa.detect_aligned()
+    msa.set_sip_nsip()
+    return msa
+
+
+def read_alignment(path: Optional[str]) -> Msa:
+    import sys
+    if path is None or path == "-":
+        text = sys.stdin.read()
+    else:
+        with open(path, "r") as fh:
+            text = fh.read()
+    return read_alignment_text(text)
+
+
+def read_inputs(paths: List[Optional[str]]) -> Msa:
+    """Read and merge multiple input files (msa_io.c:160-165)."""
+    out: Optional[Msa] = None
+    for p in paths:
+        m = read_alignment(p)
+        if out is None:
+            out = m
+        else:
+            if out.biotype != m.biotype:
+                raise ValueError("Input alignments have different alphabets")
+            out.sequences.extend(m.sequences)
+            out.letter_freq += m.letter_freq
+            out.detect_alphabet()
+            out.detect_aligned()
+            out.set_sip_nsip()
+    if out is None or out.numseq < 2:
+        raise ValueError("Fewer than 2 sequences found in the input files.")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# writers
+# ---------------------------------------------------------------------------
+
+def write_fasta(msa: Msa) -> str:
+    out = []
+    for sq in msa.sequences:
+        out.append(f">{sq.name}\n")
+        row = sq.seq
+        for start in range(0, len(row), 60):
+            out.append(row[start:start + 60])
+            out.append("\n")
+        if len(row) == 0:
+            pass
+    return "".join(out)
+
+
+def _blocked_rows(msa: Msa) -> List[str]:
+    """Sequence block lines shared by CLU and MSF writers: rows of
+    `name + padding-to-(max_name+5) + 60 residues`, grouped into blocks
+    with a blank separator line after each block."""
+    max_name = max(len(sq.name[:MSA_NAME_LEN]) for sq in msa.sequences)
+    aln_len = msa.alnlen
+    entries = []  # (block, seq_id, line)
+    for i, sq in enumerate(msa.sequences):
+        f = 0
+        block = 0
+        while True:
+            chunk = sq.seq[f:f + 60]
+            f += len(chunk)
+            line = sq.name[:MSA_NAME_LEN].ljust(max_name + 5) + chunk
+            entries.append((block, i, line))
+            if i == 0:
+                entries.append((block, msa.numseq, "\n"))
+            block += 1
+            if f == aln_len:
+                break
+    entries.sort(key=lambda e: (e[0], e[1]))
+    return [e[2] for e in entries]
+
+
+def write_clu(msa: Msa) -> str:
+    out = [f"Kalign ({KALIGN_COMPAT_VERSION}) multiple sequence alignment\n", "\n"]
+    for line in _blocked_rows(msa):
+        out.append(line + "\n")
+    return "".join(out)
+
+
+def write_msf(msa: Msa, outfile: Optional[str] = None) -> str:
+    max_name = max(len(sq.name[:MSA_NAME_LEN]) for sq in msa.sequences)
+    aln_len = msa.alnlen
+    is_protein = msa.biotype == 0
+    header_type = "AA" if is_protein else "NA"
+    date = time.strftime("%B %d, %Y %H:%M", time.localtime())
+    basename = "stdout" if not outfile else outfile.rsplit("/", 1)[-1]
+    # reference: MSF length field is sequences[0]->len (pre-finalise length
+    # in the header "MSF:" but alnlen in Name: lines? both use aln_len set
+    # from sequences[0]->len at msa_io.c:904)
+    hdr_len = msa.sequences[0].len
+    mult = 0
+    for sq in msa.sequences:
+        mult = (mult + gcg_checksum(sq.seq[:sq.len])) % 10000
+    out = [f"!!{header_type}_MULTIPLE_ALIGNMENT 1.0\n", "\n"]
+    out.append(f" {basename}  MSF: {hdr_len}  Type: {'P' if is_protein else 'N'}  "
+               f"{date}  Check: {mult}  ..\n")
+    out.append("\n")
+    for sq in msa.sequences:
+        name = sq.name[:MSA_NAME_LEN]
+        out.append(f" Name: {name:<{max_name}.{max_name}}  Len:  {hdr_len:5d}  "
+                   f"Check: {gcg_checksum(sq.seq[:sq.len]):4d}  Weight: 1.00\n")
+    out.append("\n//\n\n")
+    for line in _blocked_rows(msa):
+        out.append(line + "\n")
+    return "".join(out)
+
+
+def format_alignment(msa: Msa, fmt: Optional[str] = None, outfile: Optional[str] = None) -> str:
+    if fmt is None:
+        fmt = "fasta"
+    if "msf" in fmt:
+        return write_msf(msa, outfile)
+    if "clu" in fmt:
+        return write_clu(msa)
+    if "fa" in fmt:
+        return write_fasta(msa)
+    raise ValueError(f"Format {fmt} not recognized.")
+
+
+def write_alignment_file(msa: Msa, outfile: Optional[str], fmt: Optional[str] = None):
+    text = format_alignment(msa, fmt, outfile)
+    if outfile is None or outfile == "-":
+        import sys
+        sys.stdout.write(text)
+    else:
+        with open(outfile, "w") as fh:
+            fh.write(text)
