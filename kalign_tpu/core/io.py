@@ -288,7 +288,11 @@ def write_clu(msa: Msa) -> str:
 def write_msf(msa: Msa, outfile: Optional[str] = None) -> str:
     max_name = max(len(sq.name[:MSA_NAME_LEN]) for sq in msa.sequences)
     aln_len = msa.alnlen
-    is_protein = msa.biotype == 0
+    # Reference quirk (msa_io.c:941-949,978): msa->L holds the alphabet
+    # SIZE; AA header only for 21 (default protein) or 13 (reduced), and
+    # Type 'P' only for 21.  After alignment protein MSAs carry L=23, so
+    # the reference emits !!NA / Type N — reproduced for parity.
+    is_protein = msa.L in (21, 13)
     header_type = "AA" if is_protein else "NA"
     date = time.strftime("%B %d, %Y %H:%M", time.localtime())
     basename = "stdout" if not outfile else outfile.rsplit("/", 1)[-1]
@@ -300,7 +304,7 @@ def write_msf(msa: Msa, outfile: Optional[str] = None) -> str:
     for sq in msa.sequences:
         mult = (mult + gcg_checksum(sq.seq[:sq.len])) % 10000
     out = [f"!!{header_type}_MULTIPLE_ALIGNMENT 1.0\n", "\n"]
-    out.append(f" {basename}  MSF: {hdr_len}  Type: {'P' if is_protein else 'N'}  "
+    out.append(f" {basename}  MSF: {hdr_len}  Type: {'P' if msa.L == 21 else 'N'}  "
                f"{date}  Check: {mult}  ..\n")
     out.append("\n")
     for sq in msa.sequences:

@@ -62,7 +62,8 @@ class Msa:
         self.biotype = BIOTYPE_UNDEF
         self.aligned = 0
         self.alnlen = 0
-        self.L = alpha.ALPHA_UNDEFINED
+        self.L = 0              # alphabet size after encode() (reference msa->L)
+        self.alpha_kind = alpha.ALPHA_UNDEFINED
         self.quiet = True
         self.seq_distances: Optional[np.ndarray] = None
         self.col_confidence: Optional[np.ndarray] = None
@@ -189,8 +190,11 @@ class Msa:
 
     # ------------------------------------------------------------------
     def encode(self, kind: int):
-        """Encode all sequences into internal uint8 codes."""
-        self.L = kind
+        """Encode all sequences into internal uint8 codes.  ``L`` tracks
+        the alphabet SIZE like the reference (msa->L, e.g. 23 for the
+        ambiguous protein alphabet) — the MSF writer keys off it."""
+        self.alpha_kind = kind
+        self.L = alpha.get_alphabet(kind)[1]
         for sq in self.sequences:
             b = np.frombuffer(sq.seq.encode("ascii", "replace"), dtype=np.uint8)
             sq.s = alpha.encode(b, kind)

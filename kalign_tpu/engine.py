@@ -1,0 +1,250 @@
+"""Pipeline driver: ties the data model to a compute engine.
+
+Mirrors the orchestration of ``kalign_run_seeded`` / ``kalign_run_realign``
+(``lib/src/aln_wrap.c:133-537``):
+
+  input check -> dealign -> sort len/name -> encode reduced -> guide tree
+  -> encode full -> params -> [consistency] -> progressive align
+  -> [refine] -> [realign iterations] -> finalise -> restore rank order
+
+Engines:
+  * "host": native C++ exact engine (default; bit-identical to reference)
+  * "tpu":  JAX/Pallas engine (distance matrix + DP on device)
+"""
+
+from typing import List, Optional
+
+import numpy as np
+
+from kalign_tpu.core import alphabet as alpha
+from kalign_tpu.core import params as P
+from kalign_tpu.core.msa import Msa, BIOTYPE_DNA, BIOTYPE_PROTEIN, ALN_STATUS_ALIGNED
+from kalign_tpu.utils.sorting import glibc_msort
+
+
+def pick_anchors(msa: Msa) -> List[int]:
+    """Length-stride anchor selection (``pick_anchor.c:17-72``): sort ids
+    by length descending (glibc qsort tie behavior), take every
+    numseq/num_anchor-th."""
+    n = msa.numseq
+    num_anchor = min(32, n)
+    order = glibc_msort(list(range(n)),
+                        lambda x, y: -1 if msa.sequences[x].len > msa.sequences[y].len else 1)
+    stride = n // num_anchor
+    return [order[i * stride] for i in range(num_anchor)]
+
+
+class HostEngine:
+    """Exact host engine backed by the native C++ library."""
+
+    def __init__(self, n_threads: int = 1):
+        from kalign_tpu import native
+        self.native = native
+        self.lib = native.lib()
+        self.n_threads = n_threads
+
+    def anchor_distances(self, codes, anchors):
+        flat, off, lens = self.native.flatten_seqs(codes)
+        n_anchors = len(anchors)
+        stride = ((n_anchors + 7) // 8) * 8
+        out = np.zeros((len(codes), stride), dtype=np.float32)
+        self.lib.kt_dist_to_anchors(flat, off, lens, len(codes),
+                                    np.asarray(anchors, dtype=np.int32),
+                                    n_anchors, out.reshape(-1), self.n_threads)
+        return out
+
+    def build_tree(self, codes, dm: np.ndarray, n_anchors: int):
+        flat, off, lens = self.native.flatten_seqs(codes)
+        n = len(codes)
+        tasks = np.zeros(3 * (n - 1), dtype=np.int32)
+        seq_dist = np.zeros(n, dtype=np.float32)
+        cnt = self.lib.kt_build_tree(flat, off, lens, n,
+                                     np.ascontiguousarray(dm.reshape(-1)),
+                                     n_anchors, tasks, seq_dist)
+        assert cnt == n - 1
+        return tasks.reshape(-1, 3), seq_dist
+
+    def build_tree_pairwise(self, dm: np.ndarray):
+        n = dm.shape[0]
+        tasks = np.zeros(3 * (n - 1), dtype=np.int32)
+        seq_dist = np.zeros(n, dtype=np.float32)
+        dmc = np.ascontiguousarray(dm.astype(np.float32).reshape(-1))
+        cnt = self.lib.kt_build_tree_pairwise(dmc, n, tasks, seq_dist)
+        assert cnt == n - 1
+        return tasks.reshape(-1, 3), seq_dist
+
+    def align(self, codes, tasks, ap: P.AlnParam, seq_distances, refine_mode=0,
+              cons_seq_distances=None):
+        flat, off, lens = self.native.flatten_seqs(codes)
+        n = len(codes)
+        gaps_out = np.zeros(int(np.sum(lens + 1)), dtype=np.int32)
+        conf_out = np.zeros(n - 1, dtype=np.float32)
+        sd = None
+        sd_ptr = None
+        if seq_distances is not None:
+            sd = np.ascontiguousarray(seq_distances, dtype=np.float32)
+            sd_ptr = sd.ctypes.data
+        csd = None
+        csd_ptr = None
+        if cons_seq_distances is not None:
+            csd = np.ascontiguousarray(cons_seq_distances, dtype=np.float32)
+            csd_ptr = csd.ctypes.data
+        rc = self.lib.kt_align_msa(
+            flat, off, lens, n,
+            np.ascontiguousarray(tasks.reshape(-1).astype(np.int32)), n - 1,
+            np.ascontiguousarray(ap.subm.astype(np.float32).reshape(-1)),
+            float(ap.gpo), float(ap.gpe), float(ap.tgpe),
+            float(ap.dist_scale), float(ap.vsm_amax), float(ap.use_seq_weights),
+            sd_ptr, csd_ptr,
+            int(ap.consistency_anchors), float(ap.consistency_weight),
+            int(refine_mode), int(ap.adaptive_budget),
+            gaps_out, conf_out, self.n_threads)
+        if rc != 0:
+            raise RuntimeError("native alignment failed")
+        # unpack per-sequence gap arrays
+        gaps = []
+        pos = 0
+        for l in lens:
+            gaps.append(gaps_out[pos:pos + l + 1].tolist())
+            pos += l + 1
+        return gaps, conf_out
+
+    def aln_pairwise_dist(self, rows: List[str]):
+        n = len(rows)
+        alnlen = len(rows[0])
+        buf = np.frombuffer("".join(rows).encode("ascii"), dtype=np.uint8).copy()
+        dm = np.zeros(n * n, dtype=np.float32)
+        self.lib.kt_aln_pairwise_dist(buf, n, alnlen, dm)
+        return dm.reshape(n, n)
+
+
+def get_engine(name: str = "host", n_threads: int = 1):
+    if name == "host":
+        return HostEngine(n_threads=n_threads)
+    if name == "tpu":
+        from kalign_tpu.tpu.engine import TpuEngine
+        return TpuEngine(n_threads=n_threads)
+    raise ValueError(f"unknown engine {name!r}")
+
+
+def _encoded(msa: Msa, kind: int):
+    msa.encode(kind)
+    return [sq.s for sq in msa.sequences]
+
+
+def _build_guide_tree(msa: Msa, eng, noise_rng=None, noise_sigma: float = 0.0):
+    """Anchors + distance matrix + bisecting-kmeans tree.  Optional
+    multiplicative gaussian noise for ensemble tree perturbation
+    (bisectingKmeans.c:104-116)."""
+    anchors = pick_anchors(msa)
+    codes = [sq.s for sq in msa.sequences]
+    dm = eng.anchor_distances(codes, anchors)
+    if noise_rng is not None and noise_sigma > 0.0:
+        n_anchors = len(anchors)
+        for i in range(msa.numseq):
+            for j in range(n_anchors):
+                noise = noise_rng.gaussian(1.0, float(noise_sigma))
+                if noise < 0.1:
+                    noise = 0.1
+                dm[i, j] = np.float32(dm[i, j] * np.float32(noise))
+    tasks, seq_dist = eng.build_tree(codes, dm, len(anchors))
+    return tasks, seq_dist
+
+
+def resolve_params(msa: Msa, type_: int, gpo: float, gpe: float, tgpe: float,
+                   n_threads: int) -> P.AlnParam:
+    type_ = P.resolve_pfasum_auto(type_, msa.biotype,
+                                  [sq.len for sq in msa.sequences])
+    return P.aln_param_init(msa.biotype, type_, gpo, gpe, tgpe, n_threads)
+
+
+def align_msa(msa: Msa, n_threads: int = 1, type_: int = 0,
+              gpo: float = -1.0, gpe: float = -1.0, tgpe: float = -1.0,
+              refine: int = P.REFINE_NONE, adaptive_budget: int = 0,
+              tree_seed: int = 0, tree_noise: float = 0.0,
+              dist_scale: float = 0.0, vsm_amax: float = -1.0,
+              use_seq_weights: float = -1.0,
+              consistency_anchors: int = 0, consistency_weight: float = 2.0,
+              realign: int = 0,
+              engine: str = "host") -> Msa:
+    """Full alignment pipeline (kalign_run_seeded / kalign_run_realign)."""
+    eng = get_engine(engine, n_threads)
+
+    msa.essential_input_check()
+    if msa.aligned != 1:  # ALN_STATUS_UNALIGNED
+        msa.dealign()
+    msa.sort_len_name()
+
+    # reduced alphabet for distance estimation
+    if msa.biotype == BIOTYPE_DNA:
+        _encoded(msa, alpha.ALPHA_DEFAULT_DNA)
+    elif msa.biotype == BIOTYPE_PROTEIN:
+        _encoded(msa, alpha.ALPHA_REDUCED_PROTEIN)
+    else:
+        raise ValueError("Unable to determine what alphabet to use.")
+
+    noise_rng = None
+    if tree_seed != 0 and tree_noise > 0.0:
+        from kalign_tpu.utils.rng import XoshiroRng
+        noise_rng = XoshiroRng(tree_seed)
+    tasks, seq_dist = _build_guide_tree(msa, eng, noise_rng, tree_noise)
+    msa.seq_distances = seq_dist
+
+    # full alphabet for the DP
+    if msa.biotype == BIOTYPE_PROTEIN:
+        _encoded(msa, alpha.ALPHA_AMBIGUOUS_PROTEIN)
+
+    ap = resolve_params(msa, type_, gpo, gpe, tgpe, n_threads)
+    ap.adaptive_budget = adaptive_budget
+    if use_seq_weights >= 0.0:
+        ap.use_seq_weights = use_seq_weights
+    if dist_scale > 0.0:
+        ap.dist_scale = dist_scale
+    if vsm_amax >= 0.0:
+        ap.vsm_amax = vsm_amax
+    if consistency_anchors > 0:
+        ap.consistency_anchors = consistency_anchors
+        ap.consistency_weight = consistency_weight
+
+    # Refinement scheduling mirrors kalign_run_realign (aln_wrap.c:440-509):
+    # inline refine applies to every progressive pass; two-pass refinement
+    # (ALL/CONFIDENT) runs only on the final alignment.
+    inline_mode = P.REFINE_INLINE if refine == P.REFINE_INLINE else P.REFINE_NONE
+    bpm_seq_dist = msa.seq_distances  # anchors for consistency stay BPM-based
+
+    codes = [sq.s for sq in msa.sequences]
+    first_mode = refine if realign == 0 else inline_mode
+    gaps, conf = eng.align(codes, tasks, ap, msa.seq_distances,
+                           refine_mode=first_mode,
+                           cons_seq_distances=bpm_seq_dist)
+    for sq, g in zip(msa.sequences, gaps):
+        sq.gaps = g
+    msa.aligned = ALN_STATUS_ALIGNED
+
+    # iterative realignment: rebuild tree from alignment identity
+    for it in range(realign):
+        msa.finalise()
+        dm = eng.aln_pairwise_dist(msa.aligned_rows())
+        msa.strip_gaps()
+        if msa.biotype == BIOTYPE_DNA:
+            _encoded(msa, alpha.ALPHA_DEFAULT_DNA)
+        else:
+            _encoded(msa, alpha.ALPHA_AMBIGUOUS_PROTEIN)
+        msa.set_sip_nsip()
+        tasks, seq_dist = eng.build_tree_pairwise(dm)
+        msa.seq_distances = seq_dist
+        last = it == realign - 1
+        mode = refine if (last and refine in (P.REFINE_ALL, P.REFINE_CONFIDENT)) \
+            else inline_mode
+        codes = [sq.s for sq in msa.sequences]
+        gaps, conf = eng.align(codes, tasks, ap, msa.seq_distances,
+                               refine_mode=mode,
+                               cons_seq_distances=bpm_seq_dist)
+        for sq, g in zip(msa.sequences, gaps):
+            sq.gaps = g
+        msa.aligned = ALN_STATUS_ALIGNED
+
+    msa.finalise()
+    msa.sort_rank()
+    msa.task_confidence = conf
+    return msa

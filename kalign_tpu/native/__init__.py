@@ -1,0 +1,91 @@
+"""ctypes binding for the native host engine (libkt_host.so).
+
+Builds the library on first import if it is missing (requires g++; the
+library is a plain C-ABI shared object, no Python build deps).
+"""
+
+import ctypes
+import os
+import subprocess
+from functools import lru_cache
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libkt_host.so")
+
+_i8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+_i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+_f32p = np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS")
+
+
+def _build():
+    subprocess.run(["make", "-s", "-C", _DIR], check=True)
+
+
+@lru_cache(maxsize=1)
+def lib() -> ctypes.CDLL:
+    if not os.path.exists(_LIB_PATH):
+        _build()
+    else:
+        # rebuild if sources are newer
+        src_dir = os.path.join(_DIR, "src")
+        lib_mtime = os.path.getmtime(_LIB_PATH)
+        for f in os.listdir(src_dir):
+            if os.path.getmtime(os.path.join(src_dir, f)) > lib_mtime:
+                _build()
+                break
+    L = ctypes.CDLL(_LIB_PATH)
+
+    L.kt_bpm_block.restype = ctypes.c_int32
+    L.kt_bpm_block.argtypes = [_i8p, _i8p, ctypes.c_int32, ctypes.c_int32]
+
+    L.kt_edit_oracle.restype = ctypes.c_int32
+    L.kt_edit_oracle.argtypes = [_i8p, _i8p, ctypes.c_int32, ctypes.c_int32]
+
+    L.kt_dist_to_anchors.restype = None
+    L.kt_dist_to_anchors.argtypes = [
+        _i8p, _i64p, _i32p, ctypes.c_int32, _i32p, ctypes.c_int32,
+        _f32p, ctypes.c_int32,
+    ]
+
+    L.kt_build_tree.restype = ctypes.c_int32
+    L.kt_build_tree.argtypes = [
+        _i8p, _i64p, _i32p, ctypes.c_int32, _f32p, ctypes.c_int32,
+        _i32p, _f32p,
+    ]
+
+    L.kt_build_tree_pairwise.restype = ctypes.c_int32
+    L.kt_build_tree_pairwise.argtypes = [_f32p, ctypes.c_int32, _i32p, _f32p]
+
+    L.kt_align_msa.restype = ctypes.c_int32
+    L.kt_align_msa.argtypes = [
+        _i8p, _i64p, _i32p, ctypes.c_int32,             # seqs
+        _i32p, ctypes.c_int32,                          # tasks
+        _f32p, ctypes.c_float, ctypes.c_float, ctypes.c_float,  # subm, gpo/gpe/tgpe
+        ctypes.c_float, ctypes.c_float, ctypes.c_float,  # dist_scale, vsm, weights
+        ctypes.c_void_p,                                # seq_distances (or None)
+        ctypes.c_void_p,                                # cons_seq_distances (or None)
+        ctypes.c_int32, ctypes.c_float,                 # consistency
+        ctypes.c_int32, ctypes.c_int32,                 # refine, adaptive
+        _i32p, _f32p, ctypes.c_int32,                   # gaps_out, conf_out, threads
+    ]
+
+    L.kt_aln_pairwise_dist.restype = None
+    L.kt_aln_pairwise_dist.argtypes = [_i8p, ctypes.c_int32, ctypes.c_int32, _f32p]
+    return L
+
+
+def flatten_seqs(codes_list):
+    """Pack a list of uint8 arrays into (flat, offsets, lens)."""
+    lens = np.array([len(c) for c in codes_list], dtype=np.int32)
+    offsets = np.zeros(len(codes_list), dtype=np.int64)
+    total = 0
+    for i, c in enumerate(codes_list):
+        offsets[i] = total
+        total += len(c)
+    flat = np.empty(total, dtype=np.uint8)
+    for i, c in enumerate(codes_list):
+        flat[offsets[i]:offsets[i] + len(c)] = c
+    return flat, offsets, lens

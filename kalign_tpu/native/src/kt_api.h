@@ -1,0 +1,95 @@
+/* kalign_tpu native host engine — C ABI.
+ *
+ * Exact host-side implementation of the reference Kalign 3 compute core
+ * (distance estimation, guide tree, progressive Gotoh alignment with
+ * meet-in-the-middle path recovery, consistency, refinement).  Serves as
+ * (a) the bit-exact parity oracle for the TPU engine and (b) the CPU
+ * fallback runtime.  Float operations follow the reference's sequential
+ * f32 semantics (compiled without FMA contraction).
+ *
+ * Reference provenance is cited per function in the .cpp files as
+ * file:line into /root/reference.
+ */
+#ifndef KT_API_H
+#define KT_API_H
+
+#include <stdint.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+/* ---- pairwise bit-parallel edit distances ------------------------------ */
+
+/* Blocked Myers bit-parallel approximate edit distance with adaptive
+ * active-block window; pattern capped at 1024 symbols.
+ * (reference: bpm_block, lib/src/bpm.c:356-580) */
+int32_t kt_bpm_block(const uint8_t* text, const uint8_t* pattern,
+                     int32_t n, int32_t m);
+
+/* Scalar banded-min DP oracle, pattern capped at 255 (bpm.c:28-91). */
+int32_t kt_edit_oracle(const uint8_t* text, const uint8_t* pattern,
+                       int32_t n, int32_t m);
+
+/* Distance of every sequence to each anchor.
+ * out has shape [numseq][stride] where stride = 8*ceil(n_anchors/8);
+ * entries beyond n_anchors are 0 (sequence_distance.c:82-131). */
+void kt_dist_to_anchors(const uint8_t* flat, const int64_t* off,
+                        const int32_t* len, int32_t numseq,
+                        const int32_t* anchors, int32_t n_anchors,
+                        float* out, int32_t n_threads);
+
+/* ---- guide tree -------------------------------------------------------- */
+
+/* Build the guide tree: bisecting k-means over the anchor-distance
+ * embedding with exact UPGMA below the 50-sequence threshold.
+ * dm: [numseq][stride] anchor distances (stride = 8*ceil(n_anchors/8)),
+ *     may be perturbed by the caller for noisy ensemble trees.
+ * tasks_out: 3*(numseq-1) ints (a,b,c) in pre-order; caller sorts by c.
+ * seq_dist_out: per-sequence normalized mean anchor distance.
+ * Returns number of tasks or -1. (bisectingKmeans.c:177-271) */
+int32_t kt_build_tree(const uint8_t* flat, const int64_t* off,
+                      const int32_t* len, int32_t numseq,
+                      const float* dm, int32_t n_anchors,
+                      int32_t* tasks_out, float* seq_dist_out);
+
+/* UPGMA over a full pairwise matrix (modifies dm_copy in place).
+ * Used for --realign tree rebuilds (bisectingKmeans.c:1150-1200). */
+int32_t kt_build_tree_pairwise(float* dm, int32_t numseq, int32_t* tasks_out,
+                               float* seq_dist_out);
+
+/* ---- progressive alignment -------------------------------------------- */
+
+/* Run the full progressive alignment (optionally with anchor consistency
+ * and refinement) over encoded sequences.
+ *
+ *  seqs     : flat encoded residues (full alphabet), per-seq offsets/lens
+ *  tasks    : 3*(numseq-1) ints (a,b,c); sorted by c internally
+ *  subm     : 23x23 row-major float
+ *  refine   : 0 none, 1 all, 2 confident, 3 inline(3 trials)
+ *  gaps_out : flattened per-sequence gap arrays, len_i+1 entries each,
+ *             in input order; caller pre-zeroes
+ *  conf_out : per-task confidence (mean meetup margin or best SP)
+ * Returns 0 on success. */
+int32_t kt_align_msa(const uint8_t* flat, const int64_t* off,
+                     const int32_t* len, int32_t numseq,
+                     const int32_t* tasks, int32_t n_tasks,
+                     const float* subm, float gpo, float gpe, float tgpe,
+                     float dist_scale, float vsm_amax, float use_seq_weights,
+                     const float* seq_distances,
+                     const float* cons_seq_distances,
+                     int32_t consistency_anchors, float consistency_weight,
+                     int32_t refine_mode, int32_t adaptive_budget,
+                     int32_t* gaps_out, float* conf_out, int32_t n_threads);
+
+/* Pairwise identity distance matrix from a finalized alignment
+ * (1 - matches/aligned_cols; aln_apair_dist.c:9-82).
+ * rows: numseq gapped rows, each alnlen chars ('-' for gap, residue
+ * codes already encoded +1 so 0 can mean gap).  dm_out: numseq*numseq. */
+void kt_aln_pairwise_dist(const uint8_t* gapped, int32_t numseq,
+                          int32_t alnlen, float* dm_out);
+
+#ifdef __cplusplus
+}
+#endif
+#endif
