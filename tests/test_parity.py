@@ -1,0 +1,71 @@
+"""End-to-end parity: our pipeline must produce byte-identical FASTA to
+reference kalign (golden outputs committed under tests/golden, generated
+by the reference binary v3.5.1)."""
+
+import os
+
+import pytest
+
+from kalign_tpu.core import io as kio
+from kalign_tpu.core import params as P
+from kalign_tpu import engine as E
+
+from conftest import DATA, GOLDEN
+
+CASES = [
+    # (input, golden, kwargs)
+    ("tiny.fa", "tiny.fast.afa", dict(consistency_anchors=0)),
+    ("tiny.fa", "tiny.default.afa", dict(consistency_anchors=5)),
+    ("small.fa", "small.fast.afa", dict(consistency_anchors=0)),
+    ("small.fa", "small.default.afa", dict(consistency_anchors=5)),
+    ("small.fa", "small.refall.afa", dict(consistency_anchors=5, refine=P.REFINE_ALL)),
+    ("BB11001.tfa", "BB11001.default.afa", dict(consistency_anchors=5)),
+    ("BB11001.tfa", "BB11001.refconf.afa",
+     dict(consistency_anchors=5, refine=P.REFINE_CONFIDENT)),
+    ("BB12006.tfa", "BB12006.default.afa", dict(consistency_anchors=5)),
+    ("BB30014.tfa", "BB30014.default.afa", dict(consistency_anchors=5)),
+    ("big_prot.fa", "big_prot.default.afa", dict(consistency_anchors=5)),
+    ("big_prot.fa", "big_prot.realign.afa",
+     dict(consistency_anchors=5, realign=1)),
+    ("big_dna.fa", "big_dna.default.afa", dict(consistency_anchors=5)),
+    ("big_dna.fa", "big_dna.rna.afa",
+     dict(consistency_anchors=5, type_=P.KALIGN_TYPE_RNA)),
+]
+
+
+@pytest.mark.parametrize("inp,gold,kw", CASES, ids=[c[1] for c in CASES])
+def test_column_identical(inp, gold, kw):
+    msa = kio.read_inputs([os.path.join(DATA, inp)])
+    msa = E.align_msa(msa, **kw)
+    out = kio.write_fasta(msa)
+    ref = open(os.path.join(GOLDEN, gold)).read()
+    assert out == ref
+
+
+def test_msf_input_matches_fasta_input():
+    a = kio.read_inputs([os.path.join(DATA, "BB11001.tfa")])
+    b = kio.read_inputs([os.path.join(DATA, "BB11001.msf")])
+    ra = E.align_msa(a, consistency_anchors=5).aligned_rows()
+    rb = E.align_msa(b, consistency_anchors=5).aligned_rows()
+    assert ra == rb
+
+
+def test_clu_writer_golden():
+    msa = kio.read_inputs([os.path.join(DATA, "BB11001.tfa")])
+    msa = E.align_msa(msa, consistency_anchors=5)
+    out = kio.write_clu(msa)
+    ref = open(os.path.join(GOLDEN, "BB11001.default.clu")).read()
+    assert out == ref
+
+
+def test_alignment_invariants():
+    """Reference api-test invariants (tests/kalign_api_test.c:60-92):
+    equal row lengths, residues preserved."""
+    msa = kio.read_inputs([os.path.join(DATA, "small.fa")])
+    originals = {sq.name: sq.seq for sq in msa.sequences}
+    msa = E.align_msa(msa, consistency_anchors=5)
+    rows = msa.aligned_rows()
+    assert len(set(len(r) for r in rows)) == 1
+    assert len(rows[0]) > 0
+    for sq in msa.sequences:
+        assert sq.seq.replace("-", "") == originals[sq.name]
