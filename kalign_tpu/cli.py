@@ -1,0 +1,133 @@
+"""kalign-compatible command line interface.
+
+Flag surface mirrors the reference binary (src/run_kalign.c:155-292),
+including mode presets (--fast / --precise) and ensemble options.
+"""
+
+import argparse
+import os
+import sys
+
+from kalign_tpu.core import io as kio
+from kalign_tpu.core import params as P
+from kalign_tpu import engine as E
+from kalign_tpu.version import __version__, KALIGN_COMPAT_VERSION
+
+TYPES = {
+    None: 0, "rna": P.KALIGN_TYPE_RNA, "dna": P.KALIGN_TYPE_DNA,
+    "internal": P.KALIGN_TYPE_DNA_INTERNAL, "protein": P.KALIGN_TYPE_PROTEIN,
+    "divergent": P.KALIGN_TYPE_PROTEIN_DIVERGENT,
+    "pfasum43": P.KALIGN_TYPE_PROTEIN_PFASUM43,
+    "pfasum60": P.KALIGN_TYPE_PROTEIN_PFASUM60,
+    "pfasum": P.KALIGN_TYPE_PROTEIN_PFASUM_AUTO,
+}
+REFINES = {None: P.REFINE_NONE, "none": P.REFINE_NONE, "all": P.REFINE_ALL,
+           "confident": P.REFINE_CONFIDENT}
+
+
+def _resolve_type(s):
+    if s is None:
+        return 0
+    for key in ("rna", "dna", "internal", "protein", "divergent",
+                "pfasum43", "pfasum60", "pfasum"):
+        if key in s:
+            return TYPES[key]
+    raise SystemExit(f"Type {s} not recognized.")
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="kalign-tpu", add_help=True)
+    p.add_argument("-i", "--input", "--infile", "--in", dest="infile",
+                   action="append", default=None)
+    p.add_argument("-o", "--output", "--outfile", "--out", dest="outfile",
+                   default=None)
+    p.add_argument("-f", "--format", dest="format", default=None)
+    p.add_argument("--type", dest="type", default=None)
+    p.add_argument("--gpo", type=float, default=-1.0)
+    p.add_argument("--gpe", type=float, default=-1.0)
+    p.add_argument("--tgpe", type=float, default=-1.0)
+    p.add_argument("--refine", default=None)
+    p.add_argument("--adaptive-budget", action="store_true")
+    p.add_argument("--ensemble", nargs="?", const=5, type=int, default=0)
+    p.add_argument("--ensemble-seed", type=int, default=42)
+    p.add_argument("--min-support", type=int, default=0)
+    p.add_argument("--save-poar", default=None)
+    p.add_argument("--load-poar", default=None)
+    p.add_argument("--consistency", type=int, default=5)
+    p.add_argument("--consistency-weight", type=float, default=2.0)
+    p.add_argument("--fast", action="store_true")
+    p.add_argument("--precise", action="store_true")
+    p.add_argument("--realign", type=int, default=0)
+    p.add_argument("--vsm-amax", type=float, default=-1.0)
+    p.add_argument("-n", "--nthreads", type=int, default=1)
+    p.add_argument("-q", "--quiet", action="store_true")
+    p.add_argument("-v", "-V", "--version", action="store_true", dest="version")
+    p.add_argument("--engine", default=os.environ.get("KALIGN_TPU_ENGINE", "host"),
+                   choices=["host", "tpu"])
+    p.add_argument("files", nargs="*")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.version:
+        print(f"kalign-tpu {__version__} (kalign {KALIGN_COMPAT_VERSION} compatible)")
+        return 0
+
+    infiles = list(args.infile or []) + list(args.files)
+    if not infiles:
+        build_parser().print_help()
+        print("No input files", file=sys.stderr)
+        return 0
+    infiles = [None if f == "-" else f for f in infiles]
+
+    type_ = _resolve_type(args.type)
+    refine = REFINES.get(args.refine if args.refine is None else
+                         ("all" if "all" in args.refine else
+                          "confident" if "confident" in args.refine else "none"))
+
+    # mode presets (run_kalign.c:370-383)
+    consistency = args.consistency
+    ensemble = args.ensemble
+    realign = args.realign
+    if args.fast and consistency == 5:
+        consistency = 0
+    if args.precise:
+        if ensemble == 0:
+            ensemble = 3
+        if realign == 0:
+            realign = 1
+
+    msa = kio.read_inputs(infiles)
+    msa.quiet = args.quiet
+
+    if args.load_poar:
+        from kalign_tpu.ensemble import consensus_from_poar
+        msa = consensus_from_poar(msa, args.load_poar,
+                                  args.min_support if args.min_support > 0 else 2)
+    elif ensemble > 0:
+        from kalign_tpu.ensemble import ensemble_align
+        msa = ensemble_align(msa, n_threads=args.nthreads, type_=type_,
+                             n_runs=ensemble, gpo=args.gpo, gpe=args.gpe,
+                             tgpe=args.tgpe, seed=args.ensemble_seed,
+                             min_support=args.min_support,
+                             save_poar=args.save_poar, refine=refine,
+                             vsm_amax=args.vsm_amax, realign=realign,
+                             consistency_anchors=consistency,
+                             consistency_weight=args.consistency_weight,
+                             engine=args.engine)
+    else:
+        msa = E.align_msa(msa, n_threads=args.nthreads, type_=type_,
+                          gpo=args.gpo, gpe=args.gpe, tgpe=args.tgpe,
+                          refine=refine, adaptive_budget=int(args.adaptive_budget),
+                          realign=realign, vsm_amax=args.vsm_amax,
+                          consistency_anchors=consistency,
+                          consistency_weight=args.consistency_weight,
+                          engine=args.engine)
+
+    kio.write_alignment_file(msa, args.outfile, args.format)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -72,6 +72,11 @@ def lib() -> ctypes.CDLL:
         _i32p, _f32p, ctypes.c_int32,                   # gaps_out, conf_out, threads
     ]
 
+    L.kt_consensus_columns.restype = ctypes.c_int32
+    L.kt_consensus_columns.argtypes = [
+        _i32p, ctypes.c_int32, _i64p, _i64p, _i32p, ctypes.c_int64, _i32p,
+    ]
+
     L.kt_aln_pairwise_dist.restype = None
     L.kt_aln_pairwise_dist.argtypes = [_i8p, ctypes.c_int32, ctypes.c_int32, _f32p]
     return L
