@@ -1,0 +1,34 @@
+"""Comparison metric tests (values cross-checked against the reference
+library's kalign_msa_compare / kalign_msa_compare_detailed)."""
+
+import os
+from kalign_tpu.core import io as kio
+from kalign_tpu.core.cmp import msa_compare, msa_compare_detailed
+from conftest import GOLDEN
+
+
+def _rows(path):
+    m = kio.read_alignment(path)
+    if m.aligned == 2:
+        m.finalise()
+    return [sq.seq for sq in m.sequences], [sq.name for sq in m.sequences]
+
+
+def test_self_compare_is_100():
+    r, n = _rows(os.path.join(GOLDEN, "BB11001.default.afa"))
+    assert abs(msa_compare(r, r, n, n) - 100.0) < 1e-9
+    d = msa_compare_detailed(r, r, n, n, 0.2)
+    assert d.recall == 1.0 and d.precision == 1.0 and d.tc == 1.0
+
+
+def test_compare_values_vs_reference():
+    # reference values computed with libkalign kalign_msa_compare*
+    ra, na = _rows(os.path.join(GOLDEN, "small.default.afa"))
+    rb, nb = _rows(os.path.join(GOLDEN, "small.fast.afa"))
+    sp = msa_compare(ra, rb, na, nb)
+    assert abs(sp - 81.710121) < 1e-3
+    d = msa_compare_detailed(ra, rb, na, nb, 0.2)
+    assert abs(d.recall - 0.909639) < 1e-5
+    assert abs(d.precision - 0.828335) < 1e-5
+    assert abs(d.f1 - 0.867085) < 1e-5
+    assert abs(d.tc - 0.800000) < 1e-5
