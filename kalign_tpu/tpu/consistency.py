@@ -1,0 +1,147 @@
+"""Anchor-consistency tables for the TPU engine.
+
+Same model as the reference (lib/src/anchor_consistency.c): K diverse
+anchors by farthest-first on per-sequence mean distances; a position map
+per (sequence, anchor) from pairwise alignments (device DP); per-merge
+bonus matrices from majority-vote column->anchor maps.  Map building is
+N*K independent pairwise problems — a natural batched device workload.
+"""
+
+from dataclasses import dataclass
+from typing import List
+
+import numpy as np
+
+from kalign_tpu.core import params as P
+from kalign_tpu.tpu.profile import leaf_profile
+
+
+def select_anchors(seq_dist: np.ndarray, K: int) -> List[int]:
+    n = len(seq_dist)
+    K = min(K, n)
+    mean = float(np.mean(seq_dist))
+    first = int(np.argmin(np.abs(seq_dist - mean)))
+    anchors = [first]
+    min_dist = np.abs(seq_dist - seq_dist[first])
+    for _ in range(1, K):
+        cand = min_dist.copy()
+        cand[np.asarray(anchors)] = -1.0
+        nxt = int(np.argmax(cand))
+        anchors.append(nxt)
+        min_dist = np.minimum(min_dist, np.abs(seq_dist - seq_dist[nxt]))
+    return anchors
+
+
+@dataclass
+class ConsistencyTable:
+    K: int
+    weight: float
+    anchor_ids: List[int]
+    pos_maps: List[np.ndarray]  # [numseq * K], map[p] = anchor pos or -1
+    numseq: int
+
+    @classmethod
+    def build(cls, engine, codes, ap: P.AlnParam, seq_dist: np.ndarray,
+              K: int, weight: float) -> "ConsistencyTable":
+        n = len(codes)
+        if K <= 0 or n < 3 or seq_dist is None:
+            return None
+        K = min(K, n)
+        anchors = select_anchors(seq_dist, K)
+        maps: List[np.ndarray] = [None] * (n * K)
+        base = P.AlnParam(**{**ap.__dict__})
+        base.subm_offset = 0.0
+        for i in range(n):
+            li = len(codes[i])
+            for k, ak in enumerate(anchors):
+                if i == ak:
+                    maps[i * K + k] = np.arange(li, dtype=np.int64)
+                    continue
+                lk = len(codes[ak])
+                pi = leaf_profile(codes[i], base.subm, base.gpo, base.gpe,
+                                  base.tgpe, 0.0)
+                pk = leaf_profile(codes[ak], base.subm, base.gpo, base.gpe,
+                                  base.tgpe, 0.0)
+                if li <= lk:
+                    steps, _ = engine._dp(pi, pk, 1, 1, None)
+                    gap_i, gap_k = 1, 2
+                else:
+                    steps, _ = engine._dp(pk, pi, 1, 1, None)
+                    gap_i, gap_k = 2, 1
+                # map residue of i -> residue of anchor at match steps
+                pos_i = np.cumsum(steps != gap_i) - 1
+                pos_k = np.cumsum(steps != gap_k) - 1
+                m = np.full(li, -1, dtype=np.int64)
+                sel = steps == 0
+                m[pos_i[sel]] = pos_k[sel]
+                maps[i * K + k] = m
+        return cls(K=K, weight=weight, anchor_ids=anchors, pos_maps=maps,
+                   numseq=n)
+
+    # ------------------------------------------------------------------
+    def _node_positions(self, node, dp_len, k, sip, nsip, gaps, lens):
+        """Consensus anchor positions + confidence for a node
+        (anchor_consistency.c:352-467), vectorized."""
+        K = self.K
+        if nsip[node] == 1:
+            m = self.pos_maps[node * K + k]
+            pos = np.full(dp_len, -1, dtype=np.int64)
+            conf = np.zeros(dp_len, dtype=np.float32)
+            upto = min(dp_len, len(m))
+            pos[:upto] = m[:upto]
+            conf[:upto] = (m[:upto] >= 0).astype(np.float32)
+            return pos, conf
+        best = np.full(dp_len, -1, dtype=np.int64)
+        agree = np.zeros(dp_len, dtype=np.int64)
+        total = np.zeros(dp_len, dtype=np.int64)
+        for si in sip[node]:
+            if si >= self.numseq:
+                continue
+            m = self.pos_maps[si * K + k]
+            g = np.asarray(gaps[si], dtype=np.int64)
+            L = lens[si]
+            # column -> ungapped residue index (or -1)
+            ncols = int(g.sum()) + L
+            col_res = np.full(ncols, -1, dtype=np.int64)
+            res_cols = np.cumsum(g[:-1] + 1) - 1  # column of each residue
+            col_res[res_cols] = np.arange(L)
+            col_res = col_res[:dp_len]
+            valid = col_res >= 0
+            apos = np.full(dp_len, -1, dtype=np.int64)
+            idx = np.nonzero(valid)[0]
+            apos[idx] = m[col_res[idx]]
+            has = apos >= 0
+            total += has
+            fresh = (best < 0) & has
+            best[fresh] = apos[fresh]
+            agree += has & (apos == best)
+        ok = (total > 0) & (agree > 0)
+        pos = np.where(ok, best, -1)
+        conf = np.zeros(dp_len, dtype=np.float32)
+        conf[ok] = agree[ok] / total[ok]
+        return pos, conf
+
+    def bonus(self, engine, rows_node, len_r, cols_node, len_c,
+              sip, nsip, gaps, lens) -> np.ndarray:
+        out = np.zeros((len_r, len_c), dtype=np.float32)
+        per_w = np.float32(self.weight / self.K)
+        for k in range(self.K):
+            pr, cr = self._node_positions(rows_node, len_r, k, sip, nsip,
+                                          gaps, lens)
+            pc, cc = self._node_positions(cols_node, len_c, k, sip, nsip,
+                                          gaps, lens)
+            alen = int(max(pr.max(initial=-1), pc.max(initial=-1))) + 1
+            if alen == 0:
+                continue
+            inv = np.full(alen, -1, dtype=np.int64)
+            inv_conf = np.zeros(alen, dtype=np.float32)
+            sel = pc >= 0
+            inv[pc[sel]] = np.nonzero(sel)[0]
+            inv_conf[pc[sel]] = cc[sel]
+            rsel = pr >= 0
+            ridx = np.nonzero(rsel)[0]
+            tgt = inv[pr[ridx]]
+            good = tgt >= 0
+            out[ridx[good], tgt[good]] += per_w * cr[ridx[good]] * \
+                inv_conf[pr[ridx[good]]]
+        return out

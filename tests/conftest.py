@@ -13,6 +13,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest  # noqa: E402
 
+# The container's sitecustomize pins JAX_PLATFORMS=axon (tunneled TPU);
+# tests must run on the virtual CPU mesh regardless.
+try:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
 GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
 

@@ -1,0 +1,135 @@
+"""TPU engine tests (run on CPU backend; conftest forces jax_platforms=cpu)."""
+
+import os
+import numpy as np
+import pytest
+
+from kalign_tpu.core import io as kio
+from kalign_tpu.core import params as P
+from kalign_tpu import engine as E
+from kalign_tpu.core.cmp import msa_compare_detailed
+
+from conftest import DATA
+
+
+def _gold(path):
+    m = kio.read_alignment(path)
+    if m.aligned == 2:
+        m.finalise()
+    return [s.seq for s in m.sequences], [s.name for s in m.sequences]
+
+
+def test_pairwise_scores_optimal():
+    """TPU DP paths must score >= host paths under the reference model
+    (the host reproduces kalign's Hirschberg, which can be slightly
+    suboptimal due to its midpoint bias)."""
+    import random
+    from kalign_tpu.tpu.engine import TpuEngine
+    from kalign_tpu.tpu.profile import leaf_profile
+
+    def score(s1, s2, steps, subm, gpo, gpe, tgpe):
+        n = len(steps)
+        term = np.zeros(n, bool)
+        i = 0
+        while i < n and steps[i] != 0:
+            term[i] = True
+            i += 1
+        i = n - 1
+        while i >= 0 and steps[i] != 0:
+            term[i] = True
+            i -= 1
+        sc, p1, p2, prev = 0.0, 0, 0, 0
+        for c in range(n):
+            s = steps[c]
+            if s == 0:
+                if prev != 0:
+                    sc -= gpo
+                sc += float(subm[s1[p1], s2[p2]])
+                p1 += 1
+                p2 += 1
+            else:
+                if term[c]:
+                    sc -= tgpe
+                elif s != prev:
+                    sc -= gpo
+                else:
+                    sc -= gpe
+                if s == 1:
+                    p2 += 1
+                else:
+                    p1 += 1
+            prev = s
+        return sc
+
+    rng = random.Random(11)
+    ap = P.aln_param_init(P.BIOTYPE_PROTEIN, 0)
+    eng = TpuEngine()
+    host = E.get_engine("host")
+    for _ in range(8):
+        l1 = rng.randint(30, 120)
+        s1 = np.array([rng.randrange(20) for _ in range(l1)], np.uint8)
+        s2 = s1.copy().tolist()
+        for _ in range(l1 // 4):
+            pos = rng.randrange(len(s2))
+            r = rng.random()
+            if r < .5:
+                s2[pos] = rng.randrange(20)
+            elif r < .75 and len(s2) > 10:
+                del s2[pos]
+            else:
+                s2.insert(pos, rng.randrange(20))
+        s2 = np.array(s2, np.uint8)
+        tasks = np.array([[0, 1, 2]], np.int32)
+        gaps, _ = host.align([s1, s2], tasks, ap, None, 0)
+
+        def gcols(g):
+            g = np.asarray(g)
+            return np.cumsum(g[:-1] + 1) - 1
+        c1, c2 = gcols(gaps[0]), gcols(gaps[1])
+        ncol = max(int(c1.max()), int(c2.max())) + 1
+        m1 = np.zeros(ncol, bool)
+        m1[c1] = True
+        m2 = np.zeros(ncol, bool)
+        m2[c2] = True
+        steps_h = np.where(m1 & m2, 0, np.where(m2, 1, 2)).astype(np.int8)
+        sc_h = score(s1, s2, steps_h, ap.subm, ap.gpo, ap.gpe, ap.tgpe)
+
+        pa = leaf_profile(s1, ap.subm, ap.gpo, ap.gpe, ap.tgpe, 0.0)
+        pb = leaf_profile(s2, ap.subm, ap.gpo, ap.gpe, ap.tgpe, 0.0)
+        if len(s1) <= len(s2):
+            st, _ = eng._dp(pa, pb, 1, 1, None)
+        else:
+            st0, _ = eng._dp(pb, pa, 1, 1, None)
+            st = np.where(st0 == 1, 2, np.where(st0 == 2, 1, 0)).astype(np.int8)
+        sc_t = score(s1, s2, st, ap.subm, ap.gpo, ap.gpe, ap.tgpe)
+        # allow tiny slack for the centering regularizer
+        assert sc_t >= sc_h - 0.5
+
+
+@pytest.mark.parametrize("bb", ["BB11001", "BB12006", "BB30014"])
+def test_balibase_quality_close_to_host(bb):
+    gr, gn = _gold(os.path.join(DATA, f"{bb}.msf")) if \
+        os.path.exists(os.path.join(DATA, f"{bb}.msf")) else (None, None)
+    if gr is None:
+        pytest.skip("no gold file")
+    m_h = kio.read_inputs([os.path.join(DATA, f"{bb}.tfa")])
+    m_h = E.align_msa(m_h, consistency_anchors=0, vsm_amax=0.0)
+    m_t = kio.read_inputs([os.path.join(DATA, f"{bb}.tfa")])
+    m_t = E.align_msa(m_t, consistency_anchors=0, vsm_amax=0.0, engine="tpu")
+    d_h = msa_compare_detailed(gr, m_h.aligned_rows(), gn,
+                               [s.name for s in m_h.sequences], 0.2)
+    d_t = msa_compare_detailed(gr, m_t.aligned_rows(), gn,
+                               [s.name for s in m_t.sequences], 0.2)
+    # with VSM off the TPU engine tracks the host engine closely
+    assert d_t.recall >= d_h.recall - 0.02
+    assert d_t.tc >= d_h.tc - 0.05
+
+
+def test_tpu_invariants():
+    m = kio.read_inputs([os.path.join(DATA, "BB11001.tfa")])
+    originals = {s.name: s.seq for s in m.sequences}
+    m = E.align_msa(m, consistency_anchors=5, engine="tpu")
+    rows = m.aligned_rows()
+    assert len(set(len(r) for r in rows)) == 1
+    for sq in m.sequences:
+        assert sq.seq.replace("-", "") == originals[sq.name]
