@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Headline benchmark: DP cell updates per second (GCUPS) per chip.
+
+Runs the batched Gotoh kernel (the progressive aligner's inner loop) on
+the available accelerator and prints ONE json line:
+
+  {"metric": "dp_gcups_per_chip", "value": N, "unit": "GCUPS",
+   "vs_baseline": R}
+
+Baseline: reference kalign v3.5.1 (C, AVX2, single core on this image)
+measured at ~0.18 effective DP GCUPS on a 256x~400aa protein workload
+(67.6M merge cells x2 Hirschberg passes / 0.75 s wall; see
+tests/golden + BASELINE.md).  The BASELINE.json north star compares
+against 64-thread CPU kalign; scale accordingly on multi-core hosts.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+KALIGN_CPU_1CORE_GCUPS = 0.18
+
+
+def bench_gotoh(batch=256, L=256, bt=32, iters=20, warmup=2):
+    """Batched Pallas Gotoh forward (the progressive aligner's hot loop)."""
+    import jax
+    import jax.numpy as jnp
+    from kalign_tpu.tpu.gotoh_pallas import gotoh_forward_pallas
+
+    rng = np.random.default_rng(0)
+    match = jnp.asarray(rng.normal(size=(batch, L, L)).astype(np.float32))
+    pens = np.tile(np.array([-7.0, -1.25, -1.0], np.float32)[None, :, None],
+                   (batch, 1, L + 1))
+    pc = jnp.asarray(pens)
+    pr = jnp.asarray(pens)
+    la = jnp.full((batch,), L - 3, jnp.int32)
+    lb = jnp.full((batch,), L - 5, jnp.int32)
+
+    for _ in range(warmup):
+        out = gotoh_forward_pallas(match, pc, pr, la, lb, bt=bt)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = gotoh_forward_pallas(match, pc, pr, la, lb, bt=bt)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / iters
+    cells = batch * L * L
+    return cells / dt / 1e9
+
+
+def bench_bpm(batch=256, n=512, m=512, iters=5, warmup=1):
+    import jax.numpy as jnp
+    from kalign_tpu.tpu import bpm
+
+    rng = np.random.default_rng(1)
+    texts = jnp.asarray(rng.integers(0, 13, size=(batch, n)).astype(np.uint8))
+    pats = rng.integers(0, 13, size=(batch, bpm.MAX_PATTERN)).astype(np.uint8)
+    mlen = jnp.full((batch,), m, jnp.int32)
+    peq = bpm.build_peq(jnp.asarray(pats), mlen)
+    nlen = jnp.full((batch,), n, jnp.int32)
+    max_steps = n + bpm.WORD
+    for _ in range(warmup):
+        out = bpm.bpm_batch(texts, nlen, peq, mlen, max_steps)
+    out.block_until_ready()
+    t0 = time.time()
+    for _ in range(iters):
+        out = bpm.bpm_batch(texts, nlen, peq, mlen, max_steps)
+    out.block_until_ready()
+    dt = (time.time() - t0) / iters
+    cells = batch * n * m
+    return cells / dt / 1e9
+
+
+def main():
+    try:
+        gcups = bench_gotoh()
+        result = {
+            "metric": "dp_gcups_per_chip",
+            "value": round(gcups, 3),
+            "unit": "GCUPS",
+            "vs_baseline": round(gcups / KALIGN_CPU_1CORE_GCUPS, 2),
+        }
+    except Exception as e:  # report failure visibly but in-protocol
+        result = {
+            "metric": "dp_gcups_per_chip",
+            "value": 0.0,
+            "unit": "GCUPS",
+            "vs_baseline": 0.0,
+            "error": str(e)[:200],
+        }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,154 @@
+"""Multi-chip sharding for the MSA pipeline.
+
+Parallel axes of this workload (SURVEY.md §2.2):
+
+  * distance matrix  — N x K pairwise bit-parallel problems: shard the
+    sequence axis over "data" and the anchor axis over "model"; the
+    result is all-gathered for tree building (the reference's OpenMP
+    collapse(2) loop, sequence_distance.c:107-109, becomes a 2-D mesh).
+  * guide-tree levels — independent merges of one tree level batch over
+    "data" (the reference's per-subtree OpenMP tasks, aln_run.c:65-109).
+  * ensemble runs — embarrassingly parallel over "data"; POAR tables
+    merge host-side (ensemble.c runs them sequentially).
+
+Everything is expressed with jax.sharding + jit so XLA inserts the
+collectives; no hand-written NCCL/MPI analogue exists or is needed.
+"""
+
+from functools import partial
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from kalign_tpu.tpu import bpm
+from kalign_tpu.tpu import gotoh
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              data: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    n = len(devs)
+    if data is None:
+        # favor the data axis; model axis absorbs the rest
+        data = n
+        model = 1
+        for d in (8, 4, 2):
+            if n % d == 0 and n // d > 1:
+                data, model = n // d if n // d >= d else d, 0
+        # simple split: largest power-of-two <= sqrt for model
+        model = 1
+        while (model * 2) * (model * 2) <= n:
+            model *= 2
+        while n % model:
+            model //= 2
+        data = n // model
+    else:
+        model = n // data
+    arr = np.array(devs[:data * model]).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def pad_rows(a: np.ndarray, to: int, fill=0) -> np.ndarray:
+    if a.shape[0] == to:
+        return a
+    pad = np.full((to - a.shape[0],) + a.shape[1:], fill, dtype=a.dtype)
+    return np.concatenate([a, pad], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# sharded distance matrix
+# ---------------------------------------------------------------------------
+
+def sharded_anchor_distances(mesh: Mesh, tokens: np.ndarray,
+                             lengths: np.ndarray,
+                             anchors: Sequence[int]) -> np.ndarray:
+    """Distance of every sequence to every anchor on the mesh.
+
+    tokens [N, Lmax] uint8 (reduced alphabet), lengths [N].
+    Rows shard over data x model (flattened); result gathered to host.
+    Matches the reference distances bit-for-bit (same blocked Myers
+    semantics + length-preference bias)."""
+    N, Lmax = tokens.shape
+    K = len(anchors)
+    n_dev = mesh.devices.size
+    Np = ((N + n_dev - 1) // n_dev) * n_dev
+
+    tokens_p = pad_rows(tokens, Np)
+    lengths_p = pad_rows(np.asarray(lengths, np.int32), Np, fill=1)
+    anchors = np.asarray(anchors, np.int32)
+
+    # anchor buffers: full rows (text role) + 1024-capped pattern role
+    anchor_full = tokens[anchors]                       # [K, Lmax]
+    pat_w = min(bpm.MAX_PATTERN, Lmax)
+    anchor_pat = np.zeros((K, bpm.MAX_PATTERN), np.uint8)
+    anchor_pat[:, :pat_w] = anchor_full[:, :pat_w]
+    anchor_lens = np.asarray(lengths)[anchors].astype(np.int32)
+
+    row_sharding = NamedSharding(mesh, P(("data", "model")))
+    rep = NamedSharding(mesh, P())
+
+    max_steps = int(Lmax + bpm.WORD)
+
+    @partial(jax.jit, static_argnames=("max_steps",),
+             out_shardings=row_sharding)
+    def dist_block(toks, lens, a_full, a_pat, a_lens, max_steps):
+        B = toks.shape[0]
+        m_seq = jnp.minimum(lens, bpm.MAX_PATTERN)
+        seq_pat = jnp.zeros((B, bpm.MAX_PATTERN), jnp.uint8)
+        seq_pat = seq_pat.at[:, :pat_w].set(toks[:, :pat_w])
+        peq_seq = bpm.build_peq(seq_pat, m_seq)
+        a_peq = bpm.build_peq(a_pat, jnp.minimum(a_lens, bpm.MAX_PATTERN))
+
+        def one_anchor(a_row, a_len, a_pq):
+            # text = longer side, pattern = shorter
+            # (sequence_distance.c:153-162)
+            d1 = bpm.bpm_batch(  # text = sequence, pattern = anchor
+                toks, lens,
+                jnp.broadcast_to(a_pq, (B,) + a_pq.shape),
+                jnp.broadcast_to(jnp.minimum(a_len, bpm.MAX_PATTERN), (B,)),
+                max_steps)
+            d2 = bpm.bpm_batch(  # text = anchor, pattern = sequence
+                jnp.broadcast_to(a_row, (B, Lmax)),
+                jnp.broadcast_to(a_len, (B,)),
+                peq_seq, m_seq, max_steps)
+            d = jnp.where(lens > a_len, d1, d2).astype(jnp.float32)
+            s = ((lens + a_len) // 2).astype(jnp.float32)
+            return d + jnp.minimum(jnp.float32(10000.0), s) / 10000.0
+        return jax.vmap(one_anchor, in_axes=(0, 0, 0), out_axes=1)(
+            a_full, a_lens, a_peq)
+
+    toks_d = jax.device_put(tokens_p, row_sharding)
+    lens_d = jax.device_put(lengths_p, row_sharding)
+    out = dist_block(toks_d, lens_d,
+                     jax.device_put(anchor_full, rep),
+                     jax.device_put(anchor_pat, rep),
+                     jax.device_put(anchor_lens, rep), max_steps)
+    return np.asarray(out)[:N]
+
+
+# ---------------------------------------------------------------------------
+# batched level-synchronous DP
+# ---------------------------------------------------------------------------
+
+def batched_gotoh(mesh: Mesh, match, pens_cols, pens_rows, la, lb):
+    """Run a batch of padded merge problems sharded over the whole mesh."""
+    bsh = NamedSharding(mesh, P(("data", "model")))
+
+    @jax.jit
+    def run(match, pc, pr, la, lb):
+        return jax.vmap(
+            lambda m, c, r, a, b: gotoh.gotoh_forward(
+                m, c[0], c[1], c[2], r[0], r[1], r[2], a, b)
+        )(match, pc, pr, la, lb)
+
+    args = [jax.device_put(x, bsh) for x in (match, pens_cols, pens_rows)]
+    la_d = jax.device_put(la, bsh)
+    lb_d = jax.device_put(lb, bsh)
+    dec, score, end_state = run(args[0], args[1], args[2], la_d, lb_d)
+    return np.asarray(dec), np.asarray(score), np.asarray(end_state)
