@@ -52,7 +52,7 @@ def _cumsum_axis1(x, n):
 
 def _kernel(lab_ref, match_ref, pc_ref, pr_ref,
             dec_ref, score_ref, state_ref,
-            A_ref, GA_ref, GB_ref, *, L2p, L1p):
+            A_ref, GA_ref, GB_ref, *, L2p, L1p, with_dec=True):
     i = pl.program_id(1)  # DP row - 1 (grid row index 0 -> DP row 1)
     BT = A_ref.shape[0]
     W = L2p + 1
@@ -145,8 +145,9 @@ def _kernel(lab_ref, match_ref, pc_ref, pr_ref,
     ga_open = pltpu.roll(A_row, 1, axis=1) + go_row
     dec_ga = jnp.where(idx_pos & (ga_ext > ga_open), 1, 0)
 
-    dec = jnp.where(col_pos, dec_a, 0) | (dec_ga << 2) | (dec_gb << 3)
-    dec_ref[0] = dec.astype(jnp.int32)
+    if with_dec:
+        dec = jnp.where(col_pos, dec_a, 0) | (dec_ga << 2) | (dec_gb << 3)
+        dec_ref[0] = dec.astype(jnp.int32)
 
     A_new = jnp.where(row_valid, A_row, A_prev)
     GA_new = jnp.where(row_valid, GA_row, GA_prev)
@@ -170,9 +171,9 @@ def _kernel(lab_ref, match_ref, pc_ref, pr_ref,
         state_ref[:, 0] = st.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("bt", "interpret"))
+@functools.partial(jax.jit, static_argnames=("bt", "interpret", "with_dec"))
 def gotoh_forward_pallas(match, pens_cols, pens_rows, la, lb, bt=8,
-                         interpret=False):
+                         interpret=False, with_dec=True):
     """match [B, L1p, L2p] f32; pens_cols [B, 3, L2p+1];
     pens_rows [B, 3, L1p+1]; la, lb [B] int32.
     Returns dec [B, L1p, L2p+1] int32, score [B], end_state [B]."""
@@ -184,7 +185,9 @@ def gotoh_forward_pallas(match, pens_cols, pens_rows, la, lb, bt=8,
     match_t = jnp.transpose(match, (1, 0, 2))
 
     grid = (B // bt, L1p)
-    kernel = functools.partial(_kernel, L2p=L2p, L1p=L1p)
+    kernel = functools.partial(_kernel, L2p=L2p, L1p=L1p, with_dec=with_dec)
+    dec_rows = L1p if with_dec else 1
+    dec_map = (lambda b, i: (i, b, 0)) if with_dec else (lambda b, i: (0, b, 0))
     dec, score, state = pl.pallas_call(
         kernel,
         grid=grid,
@@ -199,7 +202,7 @@ def gotoh_forward_pallas(match, pens_cols, pens_rows, la, lb, bt=8,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, bt, L2p + 1), lambda b, i: (i, b, 0),
+            pl.BlockSpec((1, bt, L2p + 1), dec_map,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, 1), lambda b, i: (b, 0),
                          memory_space=pltpu.VMEM),
@@ -207,7 +210,7 @@ def gotoh_forward_pallas(match, pens_cols, pens_rows, la, lb, bt=8,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((L1p, B, L2p + 1), jnp.int32),
+            jax.ShapeDtypeStruct((dec_rows, B, L2p + 1), jnp.int32),
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
         ],

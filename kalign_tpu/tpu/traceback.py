@@ -1,0 +1,83 @@
+"""On-device traceback over packed decision matrices.
+
+Walks the [L1p, W] decision matrix produced by the forward kernel with a
+lax.while_loop, emitting the 0/1/2 step sequence in reverse.  Keeping
+this on device means only the O(L1+L2) step list crosses HBM->host (the
+decision matrix itself — up to GBs for a level batch — never moves).
+
+vmapped over the merge batch; each lane walks independently.
+"""
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+DEC_A_MASK = 3
+DEC_GA_EXT = 4
+DEC_GB_EXT = 8
+STEP_PAD = 3
+
+
+@partial(jax.jit, static_argnames=("max_steps",))
+def traceback_batch(dec, la, lb, end_state, max_steps):
+    """dec [B, L1p, W] int32 (row r = DP row r+1); la, lb, end_state [B].
+    Returns steps [B, max_steps] int8 in FORWARD order, padded with 3,
+    and n_steps [B]."""
+
+    def one(dec_b, la_b, lb_b, st_b):
+        steps = jnp.full((max_steps,), STEP_PAD, jnp.int8)
+
+        def cond(c):
+            i, j, st, n, steps = c
+            return (i > 0) | (j > 0)
+
+        def body(c):
+            i, j, st, n, steps = c
+            d = dec_b[jnp.maximum(i - 1, 0), j]
+
+            # state A at (i, j): emit match, move diagonally
+            in_a = st == 0
+            # degenerate guards (mirror host traceback)
+            a_fix = in_a & ((i == 0) | (j == 0))
+            st = jnp.where(a_fix, jnp.where(j > 0, 1, 2), st)
+            in_a = st == 0
+
+            in_ga = st == 1
+            ga_fix = in_ga & (j == 0)
+            st = jnp.where(ga_fix, 2, st)
+            in_ga = st == 1
+            in_gb = st == 2
+            gb_fix = in_gb & (i == 0)
+            st = jnp.where(gb_fix, 1, st)
+            in_gb = st == 2
+            in_ga = st == 1
+            in_a = st == 0
+
+            emit = jnp.where(in_a, 0, jnp.where(in_ga, 1, 2)).astype(jnp.int8)
+            steps = steps.at[n].set(emit)
+
+            next_i = jnp.where(in_a | in_gb, i - 1, i)
+            next_j = jnp.where(in_a | in_ga, j - 1, j)
+            next_st = jnp.where(
+                in_a, d & DEC_A_MASK,
+                jnp.where(in_ga,
+                          jnp.where((d & DEC_GA_EXT) != 0, 1, 0),
+                          jnp.where((d & DEC_GB_EXT) != 0, 2, 0)))
+            return (next_i.astype(jnp.int32), next_j.astype(jnp.int32),
+                    next_st.astype(jnp.int32), n + jnp.int32(1), steps)
+
+        out = jax.lax.while_loop(
+            cond, body,
+            (la_b.astype(jnp.int32), lb_b.astype(jnp.int32),
+             st_b.astype(jnp.int32), jnp.int32(0), steps))
+        _, _, _, n, steps = out
+        # reverse the first n entries into forward order
+        idx = jnp.arange(max_steps)
+        rev = jnp.where(idx < n, steps[jnp.maximum(n - 1 - idx, 0)], STEP_PAD)
+        return rev.astype(jnp.int8), n
+
+    return jax.vmap(one)(dec, la.astype(jnp.int32), lb.astype(jnp.int32),
+                         end_state.astype(jnp.int32))
