@@ -1,10 +1,14 @@
 """TPU engine: progressive MSA with device DP.
 
-Per merge: match matrix = one MXU matmul; Gotoh DP = row scan with
-cummax (tpu/gotoh.py); traceback host-side; profile merge/weave
-vectorized numpy (tpu/profile.py).  Guide-tree distances use the native
-bit-parallel kernel on host until the Pallas BPM path replaces them
-(tpu/bpm_pallas.py).
+Level-synchronous execution: all merges of one guide-tree level are
+independent (the reference's OpenMP task recursion, aln_run.c:65-109);
+they are bucketed by padded shape and launched as batched kernels.
+
+Per merge: match matrix = one MXU matmul; Gotoh DP = Pallas row-scan
+kernel (tpu/gotoh_pallas.py) with on-device traceback (tpu/traceback.py)
+so only step lists leave the device; profile merge/weave are vectorized
+numpy (tpu/profile.py).  On CPU backends the XLA scan implementation
+(tpu/gotoh.py) with host traceback is used instead.
 
 Contract: same pipeline semantics as the host engine; alignments are
 score-equivalent but may differ in equal-score tie-breaking from the
@@ -25,7 +29,7 @@ from kalign_tpu.tpu import gotoh
 from kalign_tpu.tpu.profile import Profile, leaf_profile, merge_profiles, weave_steps
 
 
-def _bucket(n: int, q: int = 256) -> int:
+def _bucket(n: int, q: int = 128) -> int:
     return max(q, ((n + q - 1) // q) * q)
 
 
@@ -35,9 +39,12 @@ def _match_matmul(counts, subrows):
 
 
 class TpuEngine:
-    def __init__(self, n_threads: int = 1):
+    def __init__(self, n_threads: int = 1, use_pallas: Optional[bool] = None):
         self.host = HostEngine(n_threads=n_threads)
         self.n_threads = n_threads
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        self.use_pallas = use_pallas
 
     # tree / distance stages delegate to the host kernels for now
     def anchor_distances(self, codes, anchors):
@@ -53,56 +60,45 @@ class TpuEngine:
         return self.host.aln_pairwise_dist(rows)
 
     # ------------------------------------------------------------------
-    def _dp(self, prof_rows: Profile, prof_cols: Profile, nsip_rows: int,
-            nsip_cols: int, bonus: Optional[np.ndarray],
-            match_from_rows: bool = False):
-        """Run the device DP; returns steps (0/1/2) with rows as side A.
-
-        match_from_rows: use the row side's substitution rows against the
-        column side's counts (the reference's residue x profile
-        orientation); otherwise rows-counts x cols-subrows."""
-        la = prof_rows.length
-        lb = prof_cols.length
-        L1p = _bucket(la)
-        L2p = _bucket(lb)
-
-        lhs = np.zeros((L1p, 23), dtype=np.float32)
-        rhs = np.zeros((L2p, 23), dtype=np.float32)
-        if match_from_rows:
-            lhs[:la] = prof_rows.subrows
-            rhs[:lb] = prof_cols.counts
+    def _forward_batch(self, match, pc, pr, la, lb):
+        """match [B, L1p, L2p] etc (numpy).  Returns list of step arrays."""
+        B = match.shape[0]
+        if self.use_pallas:
+            from kalign_tpu.tpu.gotoh_pallas import gotoh_forward_pallas
+            from kalign_tpu.tpu.traceback import traceback_batch
+            bt = 8
+            Bp = ((B + bt - 1) // bt) * bt
+            if Bp != B:
+                pad = Bp - B
+                match = np.concatenate([match, np.zeros((pad,) + match.shape[1:], match.dtype)])
+                pc = np.concatenate([pc, np.tile(pc[-1:], (pad, 1, 1))])
+                pr = np.concatenate([pr, np.tile(pr[-1:], (pad, 1, 1))])
+                la = np.concatenate([la, np.full(pad, 8, np.int32)])
+                lb = np.concatenate([lb, np.full(pad, 8, np.int32)])
+            dec, score, st = gotoh_forward_pallas(
+                jnp.asarray(match), jnp.asarray(pc), jnp.asarray(pr),
+                jnp.asarray(la), jnp.asarray(lb), bt=bt)
+            steps, nsteps = traceback_batch(
+                dec, jnp.asarray(la), jnp.asarray(lb), st,
+                match.shape[1] + match.shape[2] + 2)
+            steps = np.asarray(steps)
+            nsteps = np.asarray(nsteps)
+            score = np.asarray(score)
+            return ([steps[b, :nsteps[b]] for b in range(B)],
+                    score[:B].astype(np.float64))
         else:
-            lhs[:la] = prof_rows.counts
-            rhs[:lb] = prof_cols.subrows
-        match = np.array(_match_matmul(jnp.asarray(lhs),
-                                       jnp.asarray(rhs)))
-        # Diagonal-centering regularizer: the reference's Hirschberg meetup
-        # subtracts |mid-j|/1000 at every midpoint choice; since every row
-        # is the midpoint of exactly one recursion window, the flat-DP
-        # analogue is a per-row deviation-from-diagonal penalty of the same
-        # magnitude.  Keeps gap placement balanced on near-ties.
-        ii = np.arange(1, la + 1, dtype=np.float32)[:, None]
-        jj = np.arange(1, lb + 1, dtype=np.float32)[None, :]
-        match[:la, :lb] -= np.abs(jj - ii * (lb / max(la, 1))) * np.float32(1e-3)
-        if bonus is not None:
-            match[:la, :lb] += bonus
-
-        # per-column penalties: pen * nsip_other; entry j applies at col j
-        def pad_pen(pen, L, n, nsip_other):
-            out = np.zeros((3, L + 1), dtype=np.float32)
-            body = pen[1:-1] * np.float32(nsip_other)  # cols 1..n
-            out[:, 1:n + 1] = body.T
-            return out
-
-        pb = pad_pen(prof_cols.pen, L2p, lb, nsip_rows)
-        pa = pad_pen(prof_rows.pen, L1p, la, nsip_cols)
-
-        dec, score, end_state = gotoh.gotoh_forward(
-            jnp.asarray(match), jnp.asarray(pb[0]), jnp.asarray(pb[1]),
-            jnp.asarray(pb[2]), jnp.asarray(pa[0]), jnp.asarray(pa[1]),
-            jnp.asarray(pa[2]), jnp.int32(la), jnp.int32(lb))
-        steps = gotoh.traceback(np.asarray(dec), la, lb, int(end_state))
-        return np.asarray(steps, dtype=np.int8), float(score)
+            out = jax.vmap(
+                lambda m, c, r, a, b: gotoh.gotoh_forward(
+                    m, c[0], c[1], c[2], r[0], r[1], r[2], a, b)
+            )(jnp.asarray(match), jnp.asarray(pc), jnp.asarray(pr),
+              jnp.asarray(la), jnp.asarray(lb))
+            dec, score, st = [np.asarray(x) for x in out]
+            steps = []
+            for b in range(B):
+                steps.append(np.asarray(
+                    gotoh.traceback(dec[b], int(la[b]), int(lb[b]), int(st[b])),
+                    dtype=np.int8))
+            return steps, score.astype(np.float64)
 
     # ------------------------------------------------------------------
     def align(self, codes, tasks, ap: P.AlnParam, seq_distances,
@@ -132,61 +128,115 @@ class TpuEngine:
                                         ap.consistency_weight)
 
         order = np.asarray(tasks)[np.argsort(np.asarray(tasks)[:, 2])]
-        for t_idx, (a, b, c) in enumerate(order):
-            a, b, c = int(a), int(b), int(c)
-            eff = self._effective(ap, sd, sip, a, b, n)
-            pa = self._node_profile(profiles, codes, a, nsip, eff)
-            pb = self._node_profile(profiles, codes, b, nsip, eff)
+        task_index = {int(c): t for t, (_, _, c) in enumerate(order)}
 
-            # operand roles follow the reference (aln_run.c:297-388):
-            # leaf x profile puts the profile on the row side (its
-            # asymmetric substitution rows drive the match scores);
-            # otherwise the shorter side is the row side.
-            leaf_a = nsip[a] == 1
-            leaf_b = nsip[b] == 1
-            if leaf_a and not leaf_b:
-                rows_node, cols_node = b, a
-            elif leaf_b and not leaf_a:
-                rows_node, cols_node = a, b
-            elif pa.length <= pb.length:
-                rows_node, cols_node = a, b
-            else:
-                rows_node, cols_node = b, a
-            prof_r = pa if rows_node == a else pb
-            prof_c = pb if rows_node == a else pa
-            cols_is_leaf = nsip[cols_node] == 1 and not \
-                (leaf_a and leaf_b)
+        # level-synchronous schedule
+        level = {i: 0 for i in range(n)}
+        levels: List[List[int]] = []
+        for a, b, c in order:
+            lv = 1 + max(level[int(a)], level[int(b)])
+            level[int(c)] = lv
+            while len(levels) < lv:
+                levels.append([])
+            levels[lv - 1].append(int(c))
 
-            bonus = None
-            if ct is not None:
-                bonus = ct.bonus(self, rows_node, prof_r.length,
-                                 cols_node, prof_c.length,
-                                 sip, nsip, gaps, lens)
+        for lv_nodes in levels:
+            batch = []  # (c, a, b, rows_node, cols_node, prof_r, prof_c)
+            for c in lv_nodes:
+                t_idx = task_index[c]
+                a, b = int(order[t_idx][0]), int(order[t_idx][1])
+                eff = self._effective(ap, sd, sip, a, b, n)
+                pa = self._node_profile(profiles, codes, a, nsip, eff)
+                pb = self._node_profile(profiles, codes, b, nsip, eff)
+                leaf_a = nsip[a] == 1
+                leaf_b = nsip[b] == 1
+                if leaf_a and not leaf_b:
+                    rows_node, cols_node = b, a
+                elif leaf_b and not leaf_a:
+                    rows_node, cols_node = a, b
+                elif pa.length <= pb.length:
+                    rows_node, cols_node = a, b
+                else:
+                    rows_node, cols_node = b, a
+                prof_r = pa if rows_node == a else pb
+                prof_c = pb if rows_node == a else pa
+                cols_is_leaf = nsip[cols_node] == 1 and not (leaf_a and leaf_b)
+                batch.append((c, a, b, rows_node, cols_node, prof_r, prof_c,
+                              cols_is_leaf, ct))
 
-            steps_rc, score = self._dp(prof_r, prof_c, nsip[rows_node],
-                                       nsip[cols_node], bonus,
-                                       match_from_rows=cols_is_leaf)
-            # In _dp, step 1 = gap in ROW side, 2 = gap in COL side.
-            # Reference convention: 1 = gap in a, 2 = gap in b.
-            if rows_node == a:
-                steps = steps_rc
-            else:
-                steps = np.where(steps_rc == 1, 2,
-                                 np.where(steps_rc == 2, 1, 0)).astype(np.int8)
-            conf[t_idx] = score
+            # bucket by padded shape
+            buckets = {}
+            for item in batch:
+                _, _, _, rn, cn, prof_r, prof_c, _, _ = item
+                key = (_bucket(prof_r.length), _bucket(prof_c.length))
+                buckets.setdefault(key, []).append(item)
 
-            terminal = _terminal_mask(steps)
-            profiles[c] = merge_profiles(pa, pb, steps, terminal,
-                                         nsip[a], nsip[b],
-                                         ap.gpo, ap.gpe, ap.tgpe)
-            profiles[a] = None
-            profiles[b] = None
-            weave_steps(steps, gaps, sip[a], sip[b])
-            nsip[c] = nsip[a] + nsip[b]
-            sip[c] = list(reversed(sip[a])) + list(reversed(sip[b]))
+            for (L1p, L2p), items in buckets.items():
+                B = len(items)
+                match = np.zeros((B, L1p, L2p), np.float32)
+                pc = np.zeros((B, 3, L2p + 1), np.float32)
+                pr = np.zeros((B, 3, L1p + 1), np.float32)
+                la = np.zeros(B, np.int32)
+                lb = np.zeros(B, np.int32)
+                for k, (c, a, b, rn, cn, prof_r, prof_c, cif, _) in enumerate(items):
+                    la[k] = prof_r.length
+                    lb[k] = prof_c.length
+                    match[k] = self._match(prof_r, prof_c, L1p, L2p, cif)
+                    if ct is not None:
+                        bonus = ct.bonus(self, rn, prof_r.length, cn,
+                                         prof_c.length, sip, nsip, gaps, lens)
+                        match[k, :la[k], :lb[k]] += bonus
+                    self._add_center_bias(match[k], int(la[k]), int(lb[k]))
+                    pc[k, :, 1:lb[k] + 1] = (prof_c.pen[1:-1] *
+                                             np.float32(nsip[rn])).T
+                    pr[k, :, 1:la[k] + 1] = (prof_r.pen[1:-1] *
+                                             np.float32(nsip[cn])).T
+
+                steps_list, scores = self._forward_batch(match, pc, pr, la, lb)
+
+                for k, (c, a, b, rn, cn, prof_r, prof_c, _, _) in enumerate(items):
+                    steps_rc = np.asarray(steps_list[k], np.int8)
+                    if rn == a:
+                        steps = steps_rc
+                    else:
+                        steps = np.where(steps_rc == 1, 2,
+                                         np.where(steps_rc == 2, 1, 0)).astype(np.int8)
+                    conf[task_index[c]] = scores[k]
+                    terminal = _terminal_mask(steps)
+                    profiles_a = prof_r if rn == a else prof_c
+                    profiles_b = prof_c if rn == a else prof_r
+                    profiles[c] = merge_profiles(profiles_a, profiles_b, steps,
+                                                 terminal, nsip[a], nsip[b],
+                                                 ap.gpo, ap.gpe, ap.tgpe)
+                    profiles[a] = None
+                    profiles[b] = None
+                    weave_steps(steps, gaps, sip[a], sip[b])
+                    nsip[c] = nsip[a] + nsip[b]
+                    sip[c] = list(reversed(sip[a])) + list(reversed(sip[b]))
         return gaps, conf
 
     # ------------------------------------------------------------------
+    def _match(self, prof_r: Profile, prof_c: Profile, L1p, L2p,
+               cols_is_leaf: bool) -> np.ndarray:
+        la, lb = prof_r.length, prof_c.length
+        lhs = np.zeros((L1p, 23), dtype=np.float32)
+        rhs = np.zeros((L2p, 23), dtype=np.float32)
+        if cols_is_leaf:
+            lhs[:la] = prof_r.subrows
+            rhs[:lb] = prof_c.counts
+        else:
+            lhs[:la] = prof_r.counts
+            rhs[:lb] = prof_c.subrows
+        return np.array(_match_matmul(jnp.asarray(lhs), jnp.asarray(rhs)))
+
+    @staticmethod
+    def _add_center_bias(match, la, lb):
+        """Flat-DP analogue of the reference's Hirschberg midpoint bias
+        (see tpu/gotoh.py docstring)."""
+        ii = np.arange(1, la + 1, dtype=np.float32)[:, None]
+        jj = np.arange(1, lb + 1, dtype=np.float32)[None, :]
+        match[:la, :lb] -= np.abs(jj - ii * (lb / max(la, 1))) * np.float32(1e-3)
+
     def _effective(self, ap: P.AlnParam, sd, sip, a, b, n):
         gs, so = 1.0, 0.0
         if sd is not None:
@@ -211,6 +261,26 @@ class TpuEngine:
             profiles[node] = leaf_profile(codes[node], eff.subm, eff.gpo,
                                           eff.gpe, eff.tgpe, eff.subm_offset)
         return profiles[node]
+
+    # single-problem helper used by consistency map building
+    def _dp(self, prof_rows: Profile, prof_cols: Profile, nsip_rows: int,
+            nsip_cols: int, bonus: Optional[np.ndarray],
+            match_from_rows: bool = False):
+        L1p = _bucket(prof_rows.length)
+        L2p = _bucket(prof_cols.length)
+        la = np.array([prof_rows.length], np.int32)
+        lb = np.array([prof_cols.length], np.int32)
+        match = self._match(prof_rows, prof_cols, L1p, L2p,
+                            match_from_rows)[None]
+        if bonus is not None:
+            match[0, :la[0], :lb[0]] += bonus
+        self._add_center_bias(match[0], int(la[0]), int(lb[0]))
+        pc = np.zeros((1, 3, L2p + 1), np.float32)
+        pr = np.zeros((1, 3, L1p + 1), np.float32)
+        pc[0, :, 1:lb[0] + 1] = (prof_cols.pen[1:-1] * np.float32(nsip_rows)).T
+        pr[0, :, 1:la[0] + 1] = (prof_rows.pen[1:-1] * np.float32(nsip_cols)).T
+        steps, scores = self._forward_batch(match, pc, pr, la, lb)
+        return np.asarray(steps[0], np.int8), float(scores[0])
 
 
 def _terminal_mask(steps: np.ndarray) -> np.ndarray:
