@@ -1,8 +1,12 @@
 """Public Python API — mirrors python-kalign's surface
-(`/root/reference/python-kalign/__init__.py`).
+(`/root/reference/python-kalign/__init__.py`): align, align_from_file,
+align_file_to_file, write_alignment, compare, compare_detailed,
+generate_test_sequences, set_num_threads/get_num_threads, and the
+biopython / skbio output adapters.
 """
 
-from typing import List, Optional, Sequence, Tuple, Union
+import threading
+from typing import List, Optional, Sequence, Union
 
 from kalign_tpu.core import io as kio
 from kalign_tpu.core import params as P
@@ -30,6 +34,21 @@ _REFINE_NAMES = {
     "inline": P.REFINE_INLINE,
 }
 
+_thread_state = threading.local()
+_DEFAULT_THREADS = 1
+
+
+def set_num_threads(n: int) -> None:
+    """Set the default worker-thread count for the native engine."""
+    global _DEFAULT_THREADS
+    if n < 1:
+        raise ValueError("Thread count must be >= 1")
+    _DEFAULT_THREADS = n
+
+
+def get_num_threads() -> int:
+    return _DEFAULT_THREADS
+
 
 def _resolve_type(seq_type) -> int:
     if isinstance(seq_type, int):
@@ -44,10 +63,10 @@ def _resolve_mode(mode: Optional[str], consistency, ensemble, realign):
     """Mode presets (run_kalign.c:370-383 / python __init__.py:84-94):
     default -> consistency 5; fast -> consistency 0; precise ->
     ensemble 3 + realign 1."""
+    if mode not in (None, "default", "fast", "precise"):
+        raise ValueError(f"Unknown mode {mode!r}")
     if consistency is None:
-        consistency = 5
-        if mode == "fast":
-            consistency = 0
+        consistency = 0 if mode == "fast" else 5
     if mode == "precise":
         if not ensemble:
             ensemble = 3
@@ -56,30 +75,33 @@ def _resolve_mode(mode: Optional[str], consistency, ensemble, realign):
     return consistency, ensemble or 0, realign or 0
 
 
-def align(
-    sequences: Sequence[str],
-    seq_type: Union[str, int, None] = "auto",
-    n_threads: int = 1,
-    gap_open: float = -1.0,
-    gap_extend: float = -1.0,
-    terminal_gap_extend: float = -1.0,
-    refine: Union[str, int, None] = None,
-    mode: Optional[str] = None,
-    consistency: Optional[int] = None,
-    consistency_weight: float = 2.0,
-    ensemble: int = 0,
-    ensemble_seed: int = 42,
-    min_support: int = 0,
-    realign: int = 0,
-    vsm_amax: float = -1.0,
-    names: Optional[Sequence[str]] = None,
-    engine: str = "host",
-) -> List[str]:
-    """Align sequences, returning the aligned rows in input order."""
-    _validate_sequences(sequences)
+def _validate_sequences(sequences):
+    if sequences is None or len(sequences) < 2:
+        raise ValueError("Need at least 2 sequences to align")
+    for i, s in enumerate(sequences):
+        if not isinstance(s, str):
+            raise TypeError(f"Sequence {i} is not a string")
+        if not s:
+            raise ValueError(f"Sequence {i} is empty")
+        for ch in s:
+            o = ord(ch)
+            if o < 32 or o > 126:
+                raise ValueError(
+                    f"Sequence {i} contains control/non-ASCII character")
+            if ch.isdigit():
+                raise ValueError(f"Sequence {i} contains digits")
+
+
+def _run_alignment(sequences, names, *, seq_type, n_threads, gap_open,
+                   gap_extend, terminal_gap_extend, refine, mode,
+                   consistency, consistency_weight, ensemble, ensemble_seed,
+                   min_support, realign, vsm_amax, engine):
     type_ = _resolve_type(seq_type)
-    refine_ = _REFINE_NAMES[refine] if not isinstance(refine, int) else refine
-    consistency, ensemble, realign = _resolve_mode(mode, consistency, ensemble, realign)
+    refine_ = refine if isinstance(refine, int) else _REFINE_NAMES[refine]
+    consistency, ensemble, realign = _resolve_mode(mode, consistency,
+                                                   ensemble, realign)
+    if n_threads is None:
+        n_threads = _DEFAULT_THREADS
 
     msa = Msa.from_sequences(list(sequences), list(names) if names else None)
     msa.quiet = True
@@ -101,45 +123,136 @@ def align(
                                 consistency_anchors=consistency,
                                 consistency_weight=consistency_weight,
                                 engine=engine)
-    return msa.aligned_rows()
+    return msa
 
 
-def _validate_sequences(sequences):
-    if sequences is None or len(sequences) < 2:
-        raise ValueError("Need at least 2 sequences to align")
-    for i, s in enumerate(sequences):
-        if not isinstance(s, str):
-            raise TypeError(f"Sequence {i} is not a string")
-        if not s:
-            raise ValueError(f"Sequence {i} is empty")
-        for ch in s:
-            o = ord(ch)
-            if o < 32 or o > 126:
-                raise ValueError(f"Sequence {i} contains control/non-ASCII character")
-            if ch.isdigit():
-                raise ValueError(f"Sequence {i} contains digits")
+def align(
+    sequences: Sequence[str],
+    seq_type: Union[str, int, None] = "auto",
+    n_threads: Optional[int] = None,
+    gap_open: float = -1.0,
+    gap_extend: float = -1.0,
+    terminal_gap_extend: float = -1.0,
+    refine: Union[str, int, None] = None,
+    mode: Optional[str] = None,
+    consistency: Optional[int] = None,
+    consistency_weight: float = 2.0,
+    ensemble: int = 0,
+    ensemble_seed: int = 42,
+    min_support: int = 0,
+    realign: int = 0,
+    vsm_amax: float = -1.0,
+    names: Optional[Sequence[str]] = None,
+    fmt: str = "plain",
+    ids: Optional[Sequence[str]] = None,
+    engine: str = "host",
+):
+    """Align sequences.
+
+    fmt: "plain" (list of aligned rows, input order), "biopython"
+    (Bio.Align.MultipleSeqAlignment with PP annotations when ensemble
+    confidence is available), or "skbio" (TabularMSA).
+    """
+    _validate_sequences(sequences)
+    if ids is not None and names is None:
+        names = ids
+    msa = _run_alignment(sequences, names, seq_type=seq_type,
+                         n_threads=n_threads, gap_open=gap_open,
+                         gap_extend=gap_extend,
+                         terminal_gap_extend=terminal_gap_extend,
+                         refine=refine, mode=mode, consistency=consistency,
+                         consistency_weight=consistency_weight,
+                         ensemble=ensemble, ensemble_seed=ensemble_seed,
+                         min_support=min_support, realign=realign,
+                         vsm_amax=vsm_amax, engine=engine)
+    rows = msa.aligned_rows()
+    if fmt == "plain":
+        return rows
+    out_names = [sq.name for sq in msa.sequences]
+    if fmt == "biopython":
+        return _to_biopython(msa, rows, out_names)
+    if fmt == "skbio":
+        return _to_skbio(msa, rows, out_names)
+    raise ValueError(f"Unknown fmt {fmt!r}")
 
 
-def align_from_file(path: str, fmt: Optional[str] = None, **kw) -> List[str]:
-    msa = kio.read_alignment(path)
-    seqs = []
-    for sq in msa.sequences:
-        parts = []
-        pos = 0
-        s = sq.seq
-        seqs.append(s)
+def _conf_to_pp(conf: float) -> str:
+    if conf >= 0.95:
+        return "*"
+    return str(int(conf * 10))
+
+
+def _to_biopython(msa, rows, names):
+    try:
+        from Bio.Align import MultipleSeqAlignment
+        from Bio.Seq import Seq
+        from Bio.SeqRecord import SeqRecord
+    except ImportError as e:
+        raise ImportError(
+            "Biopython required for fmt='biopython'. "
+            "Run: pip install biopython") from e
+    records = []
+    for i, (row, name) in enumerate(zip(rows, names)):
+        rec = SeqRecord(Seq(row), id=name, description="")
+        conf = msa.sequences[i].confidence
+        if conf is not None:
+            pp = "".join("." if ch in "-." else _conf_to_pp(c)
+                         for ch, c in zip(row, conf))
+            rec.letter_annotations["posterior_probability"] = pp
+        records.append(rec)
+    aln = MultipleSeqAlignment(records)
+    if msa.col_confidence is not None:
+        aln.column_annotations = {
+            "posterior_probability":
+                "".join(_conf_to_pp(c) for c in msa.col_confidence)}
+    return aln
+
+
+def _to_skbio(msa, rows, names):
+    try:
+        from skbio import DNA, Protein, RNA, TabularMSA
+    except ImportError as e:
+        raise ImportError(
+            "scikit-bio required for fmt='skbio'. "
+            "Run: pip install scikit-bio") from e
+    alphabet = set("".join(rows).upper().replace("-", ""))
+    if alphabet.issubset(set("ACGTN")):
+        cls = DNA
+    elif alphabet.issubset(set("ACGUN")):
+        cls = RNA
+    else:
+        cls = Protein
+    seqs = [cls(row, metadata={"id": name})
+            for row, name in zip(rows, names)]
+    return TabularMSA(seqs)
+
+
+def align_from_file(path: str, out_format: str = "plain", **kw) -> List[str]:
+    msa = kio.read_inputs([path])
+    seqs = [sq.seq for sq in msa.sequences]
     names = [sq.name for sq in msa.sequences]
-    return align(seqs, names=names, **kw)
+    return align(seqs, names=names, fmt=out_format if out_format != "plain"
+                 else "plain", **kw)
 
 
 def align_file_to_file(in_path: str, out_path: str, out_format: str = "fasta",
                        **kw) -> None:
     msa = kio.read_inputs([in_path])
-    from kalign_tpu.engine import align_msa
-    rows = align([sq.seq for sq in msa.sequences],
-                 names=[sq.name for sq in msa.sequences], **kw)
-    aligned = Msa.from_sequences(rows, [sq.name for sq in msa.sequences])
-    aligned.finalise()
+    aligned = _run_alignment(
+        [sq.seq for sq in msa.sequences], [sq.name for sq in msa.sequences],
+        seq_type=kw.pop("seq_type", "auto"),
+        n_threads=kw.pop("n_threads", None),
+        gap_open=kw.pop("gap_open", -1.0),
+        gap_extend=kw.pop("gap_extend", -1.0),
+        terminal_gap_extend=kw.pop("terminal_gap_extend", -1.0),
+        refine=kw.pop("refine", None), mode=kw.pop("mode", None),
+        consistency=kw.pop("consistency", None),
+        consistency_weight=kw.pop("consistency_weight", 2.0),
+        ensemble=kw.pop("ensemble", 0),
+        ensemble_seed=kw.pop("ensemble_seed", 42),
+        min_support=kw.pop("min_support", 0),
+        realign=kw.pop("realign", 0), vsm_amax=kw.pop("vsm_amax", -1.0),
+        engine=kw.pop("engine", "host"))
     kio.write_alignment_file(aligned, out_path, out_format)
 
 
@@ -157,13 +270,35 @@ def write_alignment(msa_or_rows, path: str, fmt: str = "fasta",
     kio.write_alignment_file(msa, path, fmt)
 
 
-def compare(ref_rows, test_rows, ref_names=None, test_names=None) -> float:
+def generate_test_sequences(n_seq: int = 20, n_obs: int = 10,
+                            dna: bool = False, length: int = 250,
+                            seed: int = 42):
+    """Profile-HMM simulated families (bit-exact DSSim port)."""
+    from kalign_tpu.dssim import generate_test_sequences as gen
+    return gen(n_seq, n_obs, dna, length, seed)
+
+
+def compare(reference, test, ref_names=None, test_names=None) -> float:
+    """SP agreement %.  Accepts file paths or row lists."""
+    ref_rows, ref_names = _rows_arg(reference, ref_names)
+    test_rows, test_names = _rows_arg(test, test_names)
     from kalign_tpu.core.cmp import msa_compare
     return msa_compare(ref_rows, test_rows, ref_names, test_names)
 
 
-def compare_detailed(ref_rows, test_rows, ref_names=None, test_names=None,
+def compare_detailed(reference, test, ref_names=None, test_names=None,
                      max_gap_frac: float = 1.0):
+    ref_rows, ref_names = _rows_arg(reference, ref_names)
+    test_rows, test_names = _rows_arg(test, test_names)
     from kalign_tpu.core.cmp import msa_compare_detailed
     return msa_compare_detailed(ref_rows, test_rows, ref_names, test_names,
                                 max_gap_frac)
+
+
+def _rows_arg(arg, names):
+    if isinstance(arg, str):
+        msa = kio.read_alignment(arg)
+        if msa.aligned == 2:
+            msa.finalise()
+        return [sq.seq for sq in msa.sequences], [sq.name for sq in msa.sequences]
+    return list(arg), names
