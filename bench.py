@@ -23,8 +23,14 @@ import numpy as np
 KALIGN_CPU_1CORE_GCUPS = 0.18
 
 
-def bench_gotoh(batch=256, L=256, bt=32, iters=20, warmup=2):
-    """Batched Pallas Gotoh forward (the progressive aligner's hot loop)."""
+def bench_gotoh(batch=256, L=256, bt=32, iters=64):
+    """Batched Pallas Gotoh forward (the progressive aligner's hot loop).
+
+    The iterations are CHAINED inside one jit (each launch consumes the
+    previous scores) so a single host<->device roundtrip measures `iters`
+    real kernel executions — required on tunneled dev setups where
+    per-launch roundtrips cost seconds, and honest everywhere else."""
+    import functools
     import jax
     import jax.numpy as jnp
     from kalign_tpu.tpu.gotoh_pallas import gotoh_forward_pallas
@@ -38,14 +44,26 @@ def bench_gotoh(batch=256, L=256, bt=32, iters=20, warmup=2):
     la = jnp.full((batch,), L - 3, jnp.int32)
     lb = jnp.full((batch,), L - 5, jnp.int32)
 
-    for _ in range(warmup):
-        out = gotoh_forward_pallas(match, pc, pr, la, lb, bt=bt)
-    jax.block_until_ready(out)
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def chained(match, pc, pr, la, lb, reps):
+        def body(c, _):
+            m = match + c * jnp.float32(1e-9)
+            _, score, _ = gotoh_forward_pallas(m, pc, pr, la, lb, bt=bt,
+                                               with_dec=False)
+            return jnp.sum(score) * jnp.float32(1e-9), None
+        out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
+        return out
+
+    float(chained(match, pc, pr, la, lb, 1))   # compile + warmup
+    # difference method removes the (possibly large) fixed dispatch /
+    # fetch latency: dt = (T(iters) - T(1)) / (iters - 1)
     t0 = time.time()
-    for _ in range(iters):
-        out = gotoh_forward_pallas(match, pc, pr, la, lb, bt=bt)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / iters
+    float(chained(match, pc, pr, la, lb, 1))
+    t1 = time.time() - t0
+    t0 = time.time()
+    float(chained(match, pc, pr, la, lb, iters))
+    tn = time.time() - t0
+    dt = max((tn - t1) / (iters - 1), 1e-9)
     cells = batch * L * L
     return cells / dt / 1e9
 
