@@ -16,6 +16,7 @@ from typing import List, Optional
 
 import numpy as np
 
+from kalign_tpu.utils.logging import log, timer
 from kalign_tpu.core import alphabet as alpha
 from kalign_tpu.core import params as P
 from kalign_tpu.core.msa import Msa, BIOTYPE_DNA, BIOTYPE_PROTEIN, ALN_STATUS_ALIGNED
@@ -169,6 +170,7 @@ def align_msa(msa: Msa, n_threads: int = 1, type_: int = 0,
               engine: str = "host") -> Msa:
     """Full alignment pipeline (kalign_run_seeded / kalign_run_realign)."""
     eng = get_engine(engine, n_threads)
+    quiet = msa.quiet
 
     msa.essential_input_check()
     if msa.aligned != 1:  # ALN_STATUS_UNALIGNED
@@ -177,8 +179,10 @@ def align_msa(msa: Msa, n_threads: int = 1, type_: int = 0,
 
     # reduced alphabet for distance estimation
     if msa.biotype == BIOTYPE_DNA:
+        log("Detected DNA sequences.", quiet)
         _encoded(msa, alpha.ALPHA_DEFAULT_DNA)
     elif msa.biotype == BIOTYPE_PROTEIN:
+        log("Detected protein sequences.", quiet)
         _encoded(msa, alpha.ALPHA_REDUCED_PROTEIN)
     else:
         raise ValueError("Unable to determine what alphabet to use.")
@@ -187,7 +191,9 @@ def align_msa(msa: Msa, n_threads: int = 1, type_: int = 0,
     if tree_seed != 0 and tree_noise > 0.0:
         from kalign_tpu.utils.rng import XoshiroRng
         noise_rng = XoshiroRng(tree_seed)
-    tasks, seq_dist = _build_guide_tree(msa, eng, noise_rng, tree_noise)
+    log("Calculating pairwise distances", quiet)
+    with timer("Distances + guide tree", quiet):
+        tasks, seq_dist = _build_guide_tree(msa, eng, noise_rng, tree_noise)
     msa.seq_distances = seq_dist
 
     # full alphabet for the DP
@@ -214,9 +220,11 @@ def align_msa(msa: Msa, n_threads: int = 1, type_: int = 0,
 
     codes = [sq.s for sq in msa.sequences]
     first_mode = refine if realign == 0 else inline_mode
-    gaps, conf = eng.align(codes, tasks, ap, msa.seq_distances,
-                           refine_mode=first_mode,
-                           cons_seq_distances=bpm_seq_dist)
+    log("Aligning", quiet)
+    with timer("Alignment", quiet):
+        gaps, conf = eng.align(codes, tasks, ap, msa.seq_distances,
+                               refine_mode=first_mode,
+                               cons_seq_distances=bpm_seq_dist)
     for sq, g in zip(msa.sequences, gaps):
         sq.gaps = g
     msa.aligned = ALN_STATUS_ALIGNED
