@@ -13,6 +13,9 @@
 
 #include <algorithm>
 #include <array>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 #include <cfloat>
 #include <cmath>
 #include <cstring>
@@ -240,7 +243,7 @@ struct Engine {
 
   /* dispatch one DP run with operand ordering + mirroring
      (aln_run.c:297-388 / aln_refine.c:501-578) */
-  void dispatch(int a, int b, int len_a, int len_b) {
+  void dispatch_mt(int a, int b, int len_a, int len_b, AlnMem& mem) {
     if (nsip[a] == 1) {
       if (nsip[b] == 1) {
         if (len_a < len_b) {
@@ -311,7 +314,7 @@ struct Engine {
     }
   }
 
-  void finish_merge(int task_id, int a, int b, int c) {
+  void finish_merge_mt(int task_id, int a, int b, int c, AlnMem& mem) {
     const int* path = mem.path.data();
     if (task_id != (int)tasks.size() - 1) {
       profiles[c] = merge_profiles(profiles[a].data(), profiles[b].data(),
@@ -350,8 +353,8 @@ struct Engine {
     }
   }
 
-  void setup_bonus(int a, int b, int len_a, int len_b,
-                   std::vector<float>& bonus_store) {
+  void setup_bonus_mt(int a, int b, int len_a, int len_b,
+                      std::vector<float>& bonus_store, AlnMem& mem) {
     mem.bonus = nullptr;
     mem.bstride = 0;
     if (!ct) return;
@@ -360,6 +363,17 @@ struct Engine {
     bonus_store = bonus_matrix(rn, rows, cn, cols);
     mem.bonus = bonus_store.data();
     mem.bstride = cols;
+  }
+
+  void dispatch(int a, int b, int len_a, int len_b) {
+    dispatch_mt(a, b, len_a, len_b, mem);
+  }
+  void setup_bonus(int a, int b, int len_a, int len_b,
+                   std::vector<float>& bonus_store) {
+    setup_bonus_mt(a, b, len_a, len_b, bonus_store, mem);
+  }
+  void finish_merge(int task_id, int a, int b, int c) {
+    finish_merge_mt(task_id, a, b, c, mem);
   }
 
   void reset_trial(int len_a, int len_b) {
@@ -381,34 +395,38 @@ struct Engine {
     mem.margin_count = 0;
   }
 
-  /* standard single-trial merge (do_align, aln_run.c:213-441) */
-  void align_edge(int task_id) {
+  /* standard single-trial merge (do_align, aln_run.c:213-441).
+     Thread-safe across edges of one tree level: every touched node
+     (a, b, c and their member sequences) is disjoint between edges. */
+  void align_edge_mt(int task_id, AlnMem& m) {
     const int a = tasks[task_id][0];
     const int b = tasks[task_id][1];
     const int c = tasks[task_id][2];
     bool scaled;
     Params eff = effective_params(a, b, &scaled);
-    mem.pr = &eff;
+    m.pr = &eff;
 
     int len_a, len_b;
     prepare_profiles(eff, a, b, &len_a, &len_b);
-    mem.ensure(len_a, len_b);
-    mem.init_window();
-    mem.margin_sum = 0.0f;
-    mem.margin_count = 0;
-    mem.flip_threshold = 0.0f;
-    mem.flip_trial = 0;
+    m.ensure(len_a, len_b);
+    m.init_window();
+    m.margin_sum = 0.0f;
+    m.margin_count = 0;
+    m.flip_threshold = 0.0f;
+    m.flip_trial = 0;
     std::vector<float> bonus_store;
-    setup_bonus(a, b, len_a, len_b, bonus_store);
+    setup_bonus_mt(a, b, len_a, len_b, bonus_store, m);
 
-    dispatch(a, b, len_a, len_b);
+    dispatch_mt(a, b, len_a, len_b, m);
 
     confidence[task_id] =
-        mem.margin_count > 0 ? mem.margin_sum / (float)mem.margin_count : 0.0f;
-    path_to_steps_default(mem);
-    mem.bonus = nullptr;
-    finish_merge(task_id, a, b, c);
+        m.margin_count > 0 ? m.margin_sum / (float)m.margin_count : 0.0f;
+    path_to_steps_default(m);
+    m.bonus = nullptr;
+    finish_merge_mt(task_id, a, b, c, m);
   }
+
+  void align_edge(int task_id) { align_edge_mt(task_id, mem); }
 
   /* inline refine: n trials per merge, keep best SP
      (do_align_inline_refine, aln_run.c:514-784) */
@@ -735,7 +753,6 @@ extern "C" int32_t kt_align_msa(const uint8_t* flat, const int64_t* off,
                                 float consistency_weight, int32_t refine_mode,
                                 int32_t adaptive_budget, int32_t* gaps_out,
                                 float* conf_out, int32_t n_threads) {
-  (void)n_threads;
   kt::Engine eng;
   eng.numseq = numseq;
   eng.seqs.resize(numseq);
@@ -781,11 +798,42 @@ extern "C" int32_t kt_align_msa(const uint8_t* flat, const int64_t* off,
   }
 
   /* first pass: progressive alignment in tree order (post-order labels
-     guarantee children precede parents when sorted by c) */
+     guarantee children precede parents when sorted by c).  Edges within
+     one tree level touch disjoint nodes and run in parallel (the
+     reference's OpenMP task recursion, aln_run.c:65-109). */
   if (refine_mode == 3) {
     for (int t = 0; t < n_tasks; t++) eng.align_edge_inline(t, 3);
-  } else {
+  } else if (n_threads <= 1) {
     for (int t = 0; t < n_tasks; t++) eng.align_edge(t);
+  } else {
+    std::vector<int> level(2 * numseq - 1, 0);
+    std::vector<std::vector<int>> levels;
+    for (int t = 0; t < n_tasks; t++) {
+      int a = eng.tasks[t][0], b = eng.tasks[t][1], c = eng.tasks[t][2];
+      int lv = 1 + std::max(level[a], level[b]);
+      level[c] = lv;
+      if ((int)levels.size() < lv) levels.resize(lv);
+      levels[lv - 1].push_back(t);
+    }
+#ifdef _OPENMP
+    omp_set_num_threads(n_threads);
+#endif
+    for (auto& lv_edges : levels) {
+#ifdef _OPENMP
+#pragma omp parallel
+      {
+        kt::AlnMem local;
+#pragma omp for schedule(dynamic)
+        for (int k = 0; k < (int)lv_edges.size(); k++) {
+          eng.align_edge_mt(lv_edges[k], local);
+        }
+      }
+#else
+      for (int k = 0; k < (int)lv_edges.size(); k++) {
+        eng.align_edge(lv_edges[k]);
+      }
+#endif
+    }
   }
 
   /* second pass: two-pass refinement */
