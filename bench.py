@@ -44,15 +44,14 @@ def bench_gotoh(batch=256, L=256, bt=32, iters=64):
     la = jnp.full((batch,), L - 3, jnp.int32)
     lb = jnp.full((batch,), L - 5, jnp.int32)
 
-    @functools.partial(jax.jit, static_argnames=("reps",))
+    @jax.jit
     def chained(match, pc, pr, la, lb, reps):
-        def body(c, _):
+        def body(_, c):
             m = match + c * jnp.float32(1e-9)
             _, score, _ = gotoh_forward_pallas(m, pc, pr, la, lb, bt=bt,
                                                with_dec=False)
-            return jnp.sum(score) * jnp.float32(1e-9), None
-        out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=reps)
-        return out
+            return jnp.sum(score) * jnp.float32(1e-9)
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
 
     float(chained(match, pc, pr, la, lb, 1))   # compile + warmup
     # difference method removes the (possibly large) fixed dispatch /

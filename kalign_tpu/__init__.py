@@ -26,6 +26,9 @@ Public API mirrors the reference python-kalign package
 """
 
 from kalign_tpu.version import __version__
+from kalign_tpu import api
+from kalign_tpu import io
+from kalign_tpu import utils
 from kalign_tpu.api import (
     align,
     align_from_file,
@@ -34,6 +37,9 @@ from kalign_tpu.api import (
     compare_detailed,
     write_alignment,
     read_alignment,
+    generate_test_sequences,
+    set_num_threads,
+    get_num_threads,
 )
 
 __all__ = [
@@ -45,4 +51,10 @@ __all__ = [
     "compare_detailed",
     "write_alignment",
     "read_alignment",
+    "generate_test_sequences",
+    "set_num_threads",
+    "get_num_threads",
+    "api",
+    "io",
+    "utils",
 ]

@@ -95,7 +95,8 @@ def _validate_sequences(sequences):
 def _run_alignment(sequences, names, *, seq_type, n_threads, gap_open,
                    gap_extend, terminal_gap_extend, refine, mode,
                    consistency, consistency_weight, ensemble, ensemble_seed,
-                   min_support, realign, vsm_amax, engine):
+                   min_support, realign, vsm_amax, engine,
+                   dist_scale=0.0, adaptive_budget=False):
     type_ = _resolve_type(seq_type)
     refine_ = refine if isinstance(refine, int) else _REFINE_NAMES[refine]
     consistency, ensemble, realign = _resolve_mode(mode, consistency,
@@ -119,7 +120,9 @@ def _run_alignment(sequences, names, *, seq_type, n_threads, gap_open,
         msa = _engine.align_msa(msa, n_threads=n_threads, type_=type_,
                                 gpo=gap_open, gpe=gap_extend,
                                 tgpe=terminal_gap_extend, refine=refine_,
+                                adaptive_budget=int(adaptive_budget),
                                 realign=realign, vsm_amax=vsm_amax,
+                                dist_scale=dist_scale,
                                 consistency_anchors=consistency,
                                 consistency_weight=consistency_weight,
                                 engine=engine)
@@ -142,6 +145,8 @@ def align(
     min_support: int = 0,
     realign: int = 0,
     vsm_amax: float = -1.0,
+    dist_scale: float = 0.0,
+    adaptive_budget: bool = False,
     names: Optional[Sequence[str]] = None,
     fmt: str = "plain",
     ids: Optional[Sequence[str]] = None,
@@ -164,7 +169,8 @@ def align(
                          consistency_weight=consistency_weight,
                          ensemble=ensemble, ensemble_seed=ensemble_seed,
                          min_support=min_support, realign=realign,
-                         vsm_amax=vsm_amax, engine=engine)
+                         vsm_amax=vsm_amax, dist_scale=dist_scale,
+                         adaptive_budget=adaptive_budget, engine=engine)
     rows = msa.aligned_rows()
     if fmt == "plain":
         return rows
