@@ -103,10 +103,12 @@ class TpuEngine:
     # ------------------------------------------------------------------
     def align(self, codes, tasks, ap: P.AlnParam, seq_distances,
               refine_mode=0, cons_seq_distances=None):
-        if refine_mode not in (0,):
-            raise NotImplementedError(
-                "TPU engine supports refine=none; use engine='host' for "
-                "refinement modes in this version")
+        """refine_mode != 0 selects the TPU-native analogue of the
+        reference's flip-perturbation refinement: each merge runs K
+        candidate DPs with different diagonal-bias strengths (perturbing
+        exactly the near-ties the reference flips) and keeps the best by
+        expected sum-of-pairs (sp_score.c semantics)."""
+        refine_candidates = (1e-3,) if refine_mode == 0 else             (1e-3, 0.0, 4e-3)
         n = len(codes)
         nprof = 2 * n - 1
         lens = [len(c) for c in codes]
@@ -173,6 +175,7 @@ class TpuEngine:
 
             for (L1p, L2p), items in buckets.items():
                 B = len(items)
+                K = len(refine_candidates)
                 match = np.zeros((B, L1p, L2p), np.float32)
                 pc = np.zeros((B, 3, L2p + 1), np.float32)
                 pr = np.zeros((B, 3, L1p + 1), np.float32)
@@ -186,13 +189,31 @@ class TpuEngine:
                         bonus = ct.bonus(self, rn, prof_r.length, cn,
                                          prof_c.length, sip, nsip, gaps, lens)
                         match[k, :la[k], :lb[k]] += bonus
-                    self._add_center_bias(match[k], int(la[k]), int(lb[k]))
                     pc[k, :, 1:lb[k] + 1] = (prof_c.pen[1:-1] *
                                              np.float32(nsip[rn])).T
                     pr[k, :, 1:la[k] + 1] = (prof_r.pen[1:-1] *
                                              np.float32(nsip[cn])).T
 
-                steps_list, scores = self._forward_batch(match, pc, pr, la, lb)
+                if K == 1:
+                    for k in range(B):
+                        self._add_center_bias(match[k], int(la[k]), int(lb[k]),
+                                              refine_candidates[0])
+                    steps_list, scores = self._forward_batch(match, pc, pr,
+                                                             la, lb)
+                else:
+                    # stack candidate variants into one launch
+                    match_k = np.concatenate(
+                        [self._with_bias(match, la, lb, eps)
+                         for eps in refine_candidates])
+                    pc_k = np.tile(pc, (K, 1, 1))
+                    pr_k = np.tile(pr, (K, 1, 1))
+                    la_k = np.tile(la, K)
+                    lb_k = np.tile(lb, K)
+                    all_steps, all_scores = self._forward_batch(
+                        match_k, pc_k, pr_k, la_k, lb_k)
+                    steps_list, scores = self._select_candidates(
+                        items, all_steps, all_scores, B, K, sip, nsip, gaps,
+                        lens, ap)
 
                 for k, (c, a, b, rn, cn, prof_r, prof_c, _, _) in enumerate(items):
                     steps_rc = np.asarray(steps_list[k], np.int8)
@@ -230,12 +251,51 @@ class TpuEngine:
         return np.array(_match_matmul(jnp.asarray(lhs), jnp.asarray(rhs)))
 
     @staticmethod
-    def _add_center_bias(match, la, lb):
+    def _add_center_bias(match, la, lb, eps=1e-3):
         """Flat-DP analogue of the reference's Hirschberg midpoint bias
         (see tpu/gotoh.py docstring)."""
+        if eps == 0.0:
+            return
         ii = np.arange(1, la + 1, dtype=np.float32)[:, None]
         jj = np.arange(1, lb + 1, dtype=np.float32)[None, :]
-        match[:la, :lb] -= np.abs(jj - ii * (lb / max(la, 1))) * np.float32(1e-3)
+        match[:la, :lb] -= np.abs(jj - ii * (lb / max(la, 1))) * np.float32(eps)
+
+    def _with_bias(self, match, la, lb, eps):
+        out = match.copy()
+        for k in range(match.shape[0]):
+            self._add_center_bias(out[k], int(la[k]), int(lb[k]), eps)
+        return out
+
+    def _select_candidates(self, items, all_steps, all_scores, B, K,
+                           sip, nsip, gaps, lens, ap: P.AlnParam):
+        """Pick the best candidate per merge by expected SP score
+        (mirrors the reference's trial selection, aln_refine.c:198-253)."""
+        from kalign_tpu.tpu.profile import (column_gap_counts,
+                                            sp_score_from_profiles)
+        steps_out = []
+        scores_out = np.zeros(B, dtype=np.float64)
+        for k, (c, a, b, rn, cn, prof_r, prof_c, _, _) in enumerate(items):
+            ga = column_gap_counts(prof_r.length, nsip[rn], sip[rn], lens, gaps)
+            gb = column_gap_counts(prof_c.length, nsip[cn], sip[cn], lens, gaps)
+            best = None
+            best_sp = -np.inf
+            seen = set()
+            for v in range(K):
+                st = np.asarray(all_steps[v * B + k], np.int8)
+                key = st.tobytes()
+                if key in seen:
+                    continue
+                seen.add(key)
+                term = _terminal_mask(st)
+                sp = sp_score_from_profiles(
+                    prof_r, prof_c, st, term, nsip[rn], nsip[cn], ga, gb,
+                    ap.subm, ap.gpo, ap.gpe, ap.tgpe)
+                if sp > best_sp:
+                    best_sp = sp
+                    best = st
+            steps_out.append(best)
+            scores_out[k] = best_sp
+        return steps_out, scores_out
 
     def _effective(self, ap: P.AlnParam, sd, sip, a, b, n):
         gs, so = 1.0, 0.0

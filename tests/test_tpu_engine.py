@@ -125,6 +125,28 @@ def test_balibase_quality_close_to_host(bb):
     assert d_t.tc >= d_h.tc - 0.05
 
 
+@pytest.mark.parametrize("refine", [0, 3])
+def test_tpu_refine_modes_run(refine):
+    m = kio.read_inputs([os.path.join(DATA, "BB12006.tfa")])
+    m = E.align_msa(m, consistency_anchors=5, refine=refine, engine="tpu")
+    rows = m.aligned_rows()
+    assert len(set(len(r) for r in rows)) == 1
+
+
+def test_tpu_default_mode_quality():
+    """Default mode (consistency on): TPU engine tracks host quality."""
+    gr, gn = _gold(os.path.join(DATA, "BB12006.msf"))
+    m_h = kio.read_inputs([os.path.join(DATA, "BB12006.tfa")])
+    m_h = E.align_msa(m_h, consistency_anchors=5)
+    m_t = kio.read_inputs([os.path.join(DATA, "BB12006.tfa")])
+    m_t = E.align_msa(m_t, consistency_anchors=5, engine="tpu")
+    d_h = msa_compare_detailed(gr, m_h.aligned_rows(), gn,
+                               [s.name for s in m_h.sequences], 0.2)
+    d_t = msa_compare_detailed(gr, m_t.aligned_rows(), gn,
+                               [s.name for s in m_t.sequences], 0.2)
+    assert d_t.recall >= d_h.recall - 0.03
+
+
 def test_tpu_invariants():
     m = kio.read_inputs([os.path.join(DATA, "BB11001.tfa")])
     originals = {s.name: s.seq for s in m.sequences}
