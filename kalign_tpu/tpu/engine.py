@@ -16,6 +16,7 @@ reference's Hirschberg midpoint choices.  Quality (SP/TC) is asserted
 against the host engine in tests.
 """
 
+import functools
 from typing import List, Optional
 
 import numpy as np
@@ -36,6 +37,27 @@ def _bucket(n: int, q: int = 128) -> int:
 @jax.jit
 def _match_matmul(counts, subrows):
     return jnp.dot(counts, subrows.T, preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("bt", "with_dec"))
+def _fused_forward(lhs, rhs, pc, pr, la, lb, bias_eps, bonus, bt, with_dec):
+    """Device-resident bucket step: batched MXU matmul -> centering bias
+    -> optional consistency bonus -> Pallas forward.  Avoids any
+    host round-trip of the [B, L1p, L2p] match matrices."""
+    from kalign_tpu.tpu.gotoh_pallas import gotoh_forward_pallas
+    match = jax.lax.dot_general(
+        lhs, rhs, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)          # [B, L1p, L2p]
+    B, L1p, L2p = match.shape
+    ii = jnp.arange(1, L1p + 1, dtype=jnp.float32)[None, :, None]
+    jj = jnp.arange(1, L2p + 1, dtype=jnp.float32)[None, None, :]
+    slope = lb.astype(jnp.float32) / jnp.maximum(la.astype(jnp.float32), 1.0)
+    dev = jnp.abs(jj - ii * slope[:, None, None])
+    match = match - dev * bias_eps[:, None, None]
+    if bonus is not None:
+        match = match + bonus
+    return gotoh_forward_pallas(match, pc, pr, la, lb, bt=bt,
+                                with_dec=with_dec)
 
 
 class TpuEngine:
@@ -60,6 +82,51 @@ class TpuEngine:
         return self.host.aln_pairwise_dist(rows)
 
     # ------------------------------------------------------------------
+    def _run_bucket(self, lhs, rhs, pc, pr, la, lb, eps, bonus):
+        """Device-resident matmul + bias + bonus + forward + traceback."""
+        B = lhs.shape[0]
+        if self.use_pallas:
+            from kalign_tpu.tpu.traceback import traceback_batch
+            bt = 8
+            Bp = ((B + bt - 1) // bt) * bt
+            if Bp != B:
+                pad = Bp - B
+
+                def padn(x, fill=0):
+                    return np.concatenate(
+                        [x, np.full((pad,) + x.shape[1:], fill, x.dtype)])
+                lhs = padn(lhs)
+                rhs = padn(rhs)
+                pc = np.concatenate([pc, np.tile(pc[-1:], (pad, 1, 1))])
+                pr = np.concatenate([pr, np.tile(pr[-1:], (pad, 1, 1))])
+                la = np.concatenate([la, np.full(pad, 8, np.int32)])
+                lb = np.concatenate([lb, np.full(pad, 8, np.int32)])
+                eps = padn(eps)
+                if bonus is not None:
+                    bonus = padn(bonus)
+            dec, score, st = _fused_forward(
+                jnp.asarray(lhs), jnp.asarray(rhs), jnp.asarray(pc),
+                jnp.asarray(pr), jnp.asarray(la), jnp.asarray(lb),
+                jnp.asarray(eps),
+                None if bonus is None else jnp.asarray(bonus),
+                bt, True)
+            steps, nsteps = traceback_batch(
+                dec, jnp.asarray(la), jnp.asarray(lb), st,
+                lhs.shape[1] + rhs.shape[1] + 2)
+            steps = np.asarray(steps)
+            nsteps = np.asarray(nsteps)
+            score = np.asarray(score)
+            return ([steps[b, :nsteps[b]] for b in range(B)],
+                    score[:B].astype(np.float64))
+        # CPU path: materialize match host-side, reuse the XLA scan
+        match = np.einsum("blk,bmk->blm", lhs, rhs).astype(np.float32)
+        for k in range(B):
+            self._add_center_bias(match[k], int(la[k]), int(lb[k]),
+                                  float(eps[k]))
+        if bonus is not None:
+            match += bonus
+        return self._forward_batch(match, pc, pr, la, lb)
+
     def _forward_batch(self, match, pc, pr, la, lb):
         """match [B, L1p, L2p] etc (numpy).  Returns list of step arrays."""
         B = match.shape[0]
@@ -176,44 +243,49 @@ class TpuEngine:
             for (L1p, L2p), items in buckets.items():
                 B = len(items)
                 K = len(refine_candidates)
-                match = np.zeros((B, L1p, L2p), np.float32)
                 pc = np.zeros((B, 3, L2p + 1), np.float32)
                 pr = np.zeros((B, 3, L1p + 1), np.float32)
                 la = np.zeros(B, np.int32)
                 lb = np.zeros(B, np.int32)
+                lhs = np.zeros((B, L1p, 23), np.float32)
+                rhs = np.zeros((B, L2p, 23), np.float32)
+                bonus = np.zeros((B, L1p, L2p), np.float32) if ct is not None                     else None
                 for k, (c, a, b, rn, cn, prof_r, prof_c, cif, _) in enumerate(items):
                     la[k] = prof_r.length
                     lb[k] = prof_c.length
-                    match[k] = self._match(prof_r, prof_c, L1p, L2p, cif)
+                    if cif:
+                        lhs[k, :la[k]] = prof_r.subrows
+                        rhs[k, :lb[k]] = prof_c.counts
+                    else:
+                        lhs[k, :la[k]] = prof_r.counts
+                        rhs[k, :lb[k]] = prof_c.subrows
                     if ct is not None:
-                        bonus = ct.bonus(self, rn, prof_r.length, cn,
-                                         prof_c.length, sip, nsip, gaps, lens)
-                        match[k, :la[k], :lb[k]] += bonus
+                        bonus[k, :la[k], :lb[k]] = ct.bonus(
+                            self, rn, prof_r.length, cn, prof_c.length,
+                            sip, nsip, gaps, lens)
                     pc[k, :, 1:lb[k] + 1] = (prof_c.pen[1:-1] *
                                              np.float32(nsip[rn])).T
                     pr[k, :, 1:la[k] + 1] = (prof_r.pen[1:-1] *
                                              np.float32(nsip[cn])).T
 
-                if K == 1:
-                    for k in range(B):
-                        self._add_center_bias(match[k], int(la[k]), int(lb[k]),
-                                              refine_candidates[0])
-                    steps_list, scores = self._forward_batch(match, pc, pr,
-                                                             la, lb)
-                else:
-                    # stack candidate variants into one launch
-                    match_k = np.concatenate(
-                        [self._with_bias(match, la, lb, eps)
-                         for eps in refine_candidates])
+                if K > 1:
+                    lhs = np.tile(lhs, (K, 1, 1))
+                    rhs = np.tile(rhs, (K, 1, 1))
                     pc_k = np.tile(pc, (K, 1, 1))
                     pr_k = np.tile(pr, (K, 1, 1))
                     la_k = np.tile(la, K)
                     lb_k = np.tile(lb, K)
-                    all_steps, all_scores = self._forward_batch(
-                        match_k, pc_k, pr_k, la_k, lb_k)
+                    bonus_k = None if bonus is None else np.tile(bonus, (K, 1, 1))
+                    eps = np.repeat(np.asarray(refine_candidates, np.float32), B)
+                    all_steps, all_scores = self._run_bucket(
+                        lhs, rhs, pc_k, pr_k, la_k, lb_k, eps, bonus_k)
                     steps_list, scores = self._select_candidates(
                         items, all_steps, all_scores, B, K, sip, nsip, gaps,
                         lens, ap)
+                else:
+                    eps = np.full(B, refine_candidates[0], np.float32)
+                    steps_list, scores = self._run_bucket(
+                        lhs, rhs, pc, pr, la, lb, eps, bonus)
 
                 for k, (c, a, b, rn, cn, prof_r, prof_c, _, _) in enumerate(items):
                     steps_rc = np.asarray(steps_list[k], np.int8)
