@@ -23,7 +23,7 @@ import numpy as np
 KALIGN_CPU_1CORE_GCUPS = 0.18
 
 
-def bench_gotoh(batch=256, L=256, bt=32, iters=64):
+def bench_gotoh(batch=256, L=256, bt=128, iters=64):
     """Batched Pallas Gotoh forward (the progressive aligner's hot loop).
 
     The iterations are CHAINED inside one jit (each launch consumes the
@@ -54,15 +54,19 @@ def bench_gotoh(batch=256, L=256, bt=32, iters=64):
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
 
     float(chained(match, pc, pr, la, lb, 1))   # compile + warmup
+
     # difference method removes the (possibly large) fixed dispatch /
-    # fetch latency: dt = (T(iters) - T(1)) / (iters - 1)
-    t0 = time.time()
-    float(chained(match, pc, pr, la, lb, 1))
-    t1 = time.time() - t0
-    t0 = time.time()
-    float(chained(match, pc, pr, la, lb, iters))
-    tn = time.time() - t0
-    dt = max((tn - t1) / (iters - 1), 1e-9)
+    # fetch latency: dt = (T(iters) - T(lo)) / (iters - lo); taking the
+    # best of a few tries rejects tunnel hiccups on dev setups
+    def T(reps):
+        t0 = time.time()
+        float(chained(match, pc, pr, la, lb, reps))
+        return time.time() - t0
+
+    lo = max(1, iters // 8)
+    T(lo)
+    dt = min(max((T(iters) - T(lo)) / (iters - lo), 1e-9)
+             for _ in range(3))
     cells = batch * L * L
     return cells / dt / 1e9
 

@@ -86,8 +86,9 @@ class TpuEngine:
         """Device-resident matmul + bias + bonus + forward + traceback."""
         B = lhs.shape[0]
         if self.use_pallas:
+            from kalign_tpu.tpu.gotoh_pallas import pick_bt
             from kalign_tpu.tpu.traceback import traceback_batch
-            bt = 8
+            bt = pick_bt(B, rhs.shape[1])
             Bp = ((B + bt - 1) // bt) * bt
             if Bp != B:
                 pad = Bp - B
@@ -131,9 +132,9 @@ class TpuEngine:
         """match [B, L1p, L2p] etc (numpy).  Returns list of step arrays."""
         B = match.shape[0]
         if self.use_pallas:
-            from kalign_tpu.tpu.gotoh_pallas import gotoh_forward_pallas
+            from kalign_tpu.tpu.gotoh_pallas import gotoh_forward_pallas, pick_bt
             from kalign_tpu.tpu.traceback import traceback_batch
-            bt = 8
+            bt = pick_bt(B, match.shape[2])
             Bp = ((B + bt - 1) // bt) * bt
             if Bp != B:
                 pad = Bp - B

@@ -3,12 +3,21 @@
 Layout strategy (the speed-of-light shape for this recurrence):
 
   * a grid step processes ONE DP row of a TILE of BT problems at once:
-    the working set is [BT, L2p+1] f32 — BT=8..32 fills the 8x128 VPU
+    the working set is [BT, L2p] f32 — BT=32..128 fills the 8x128 VPU
     tiles; per-step compute is pure elementwise work plus one in-row
     max-plus prefix scan done as log2(L) masked rolls.
+  * the working width is exactly L2p (callers bucket-pad L2p to a
+    multiple of 128, so every row array is LANE-ALIGNED).  DP column 0
+    is never materialised: its values are analytic (A[i,0]=NEG for i>0,
+    GA[i,0]=NEG, GB[i,0]=cumsum of terminal row penalties) and are fed
+    into the j-1 shifted views as per-row scalars.  Keeping the width
+    off-by-one-free is worth ~1.6x on the VPU (a 257-wide row occupies
+    three 128-lane groups; 256 occupies two).
   * DP state (A/GA/GB rows) lives in VMEM scratch and persists across
     the sequential grid; match rows and per-row penalty scalars stream
-    HBM->VMEM via the implicit pipeline; packed decision rows stream out.
+    HBM->VMEM via the implicit pipeline; packed int8 decision rows
+    stream out (4 bits used — int8 quarters the HBM write traffic of
+    the decision matrix, the kernel's only large output).
   * everything row-invariant (gap-extension prefix sums for the scan
     transform, shifted penalty vectors, the leading-gap init row) is
     precomputed once outside the kernel — the inner loop's only
@@ -41,6 +50,21 @@ DEC_GA_EXT = 4
 DEC_GB_EXT = 8
 
 
+def pick_bt(B: int, L2p: int, vmem_budget: int = 12 * 2**20) -> int:
+    """Largest power-of-two tile (<=128) whose VMEM working set fits.
+
+    Per problem the kernel holds ~34 f32-row-equivalents of width L2p
+    (3 state rows, 8 colpen rows, ga0, double-buffered R=8 match rows
+    in and int8 dec rows out); bigger tiles amortise per-grid-step
+    overhead."""
+    bt = 128
+    while bt > 8 and bt * L2p * 4 * 34 > vmem_budget:
+        bt //= 2
+    while bt > B and bt > 8:
+        bt //= 2
+    return bt
+
+
 def _cummax_axis1(x, n):
     """In-row prefix max via log-step masked rolls."""
     k = 1
@@ -54,20 +78,26 @@ def _cummax_axis1(x, n):
 
 def _kernel(lab_ref, match_ref, rowpen_ref, colpen_ref, ga0_ref,
             dec_ref, score_ref, state_ref,
-            S_ref, *, L2p, L1p, with_dec):
-    """colpen_ref packs row-invariant column-side vectors [BT, 8, W]:
-    0 goB, 1 geB, 2 tgeB, 3 C_norm, 4 C_term, 5 goB_next, 6 tgeB_next,
-    7 unused.  rowpen_ref streams per-row scalars [1, BT, 4]:
-    goA_i, geA_i, tgeA_i, goA_prev."""
+            S_ref, *, L2p, L1p, R, with_dec):
+    """colpen_ref packs row-invariant column-side vectors [BT, 8, L2p]
+    for DP columns 1..L2p: 0 goB, 1 geB, 2 tgeB, 3 C_norm, 4 C_term,
+    5 goB_next, 6 tgeB_next, 7 unused.  rowpen_ref streams per-row
+    scalars [R, BT, 8]: goA_i, geA_i, tgeA_i, goA_prev, gb0_prev.
+
+    Each grid step advances R DP rows (unrolled): the state rows live in
+    registers across the unroll and touch VMEM scratch once per step,
+    and the per-step pipeline bookkeeping is amortised R-fold."""
     i = pl.program_id(1)
     BT = S_ref.shape[1]
-    W = L2p + 1
+    W = L2p
 
     la = lab_ref[:, 0:1]
     lb = lab_ref[:, 1:2]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (BT, W), 1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (BT, W), 1)
+    cols = idx + 1                      # actual DP column numbers 1..L2p
     col_valid = cols <= lb
-    col_pos = cols >= 1
+    idx0 = idx == 0                     # DP column 1 (shift-in boundary)
+    is_term_col = cols == lb
 
     goB = colpen_ref[:, 0, :]
     geB = colpen_ref[:, 1, :]
@@ -79,88 +109,96 @@ def _kernel(lab_ref, match_ref, rowpen_ref, colpen_ref, ga0_ref,
 
     @pl.when(i == 0)
     def _init():
-        S_ref[0] = jnp.where(cols == 0, 0.0, NEG)   # A row 0
+        S_ref[0] = jnp.full((BT, W), NEG)           # A row 0, cols >= 1
         S_ref[1] = ga0_ref[:, :]                    # GA row 0 (precomputed)
         S_ref[2] = jnp.full((BT, W), NEG)           # GB row 0
-
-    row = i + 1
-    row_valid = row <= la
-    is_last_row = row == la
-
-    goA_i = rowpen_ref[0, :, 0:1]
-    geA_i = rowpen_ref[0, :, 1:2]
-    tgeA_i = rowpen_ref[0, :, 2:3]
-    goA_prev = rowpen_ref[0, :, 3:4]
 
     A_prev = S_ref[0]
     GA_prev = S_ref[1]
     GB_prev = S_ref[2]
 
-    m_row = match_ref[0]  # [BT, L2p]
+    for r in range(R):
+        row = i * R + r + 1
+        row_valid = row <= la
+        is_last_row = row == la
 
-    # one stacked roll produces every j-1 view of the previous row
-    stacked = jnp.stack([A_prev, GA_prev, GB_prev, goB], axis=0)
-    shifted = pltpu.roll(stacked, 1, axis=2)
-    A_prev_s = jnp.where(col_pos, shifted[0], NEG)
-    GA_prev_s = jnp.where(col_pos, shifted[1], NEG)
-    GB_prev_s = jnp.where(col_pos, shifted[2], NEG)
-    goB_s = jnp.where(col_pos, shifted[3], 0.0)
+        goA_i = rowpen_ref[r, :, 0:1]
+        geA_i = rowpen_ref[r, :, 1:2]
+        tgeA_i = rowpen_ref[r, :, 2:3]
+        goA_prev = rowpen_ref[r, :, 3:4]
+        gb0_prev = rowpen_ref[r, :, 4:5]  # GB[row-1, 0] (terminal col 0)
 
-    # --- A row ---
-    m_s = jnp.concatenate([jnp.zeros((BT, 1), jnp.float32), m_row], axis=1)
-    diagA = A_prev_s
-    diagGA = GA_prev_s + goB_s
-    diagGB = GB_prev_s + goA_prev
-    best01 = jnp.maximum(diagA, diagGA)
-    # reference MAX3 keeps the LATER operand on ties (a > b ? a : b)
-    dec_a = jnp.where(diagGA >= diagA, 1, 0)
-    dec_a = jnp.where(diagGB >= best01, 2, dec_a)
-    A_row = jnp.maximum(best01, diagGB) + m_s
-    A_row = jnp.where(col_valid & col_pos, A_row, NEG)
+        m_row = match_ref[r]  # [BT, L2p]; m_row[:, j-1] scores DP col j
 
-    # --- GB row (prev-row only) ---
-    is_term_col = (cols == 0) | (cols == lb)
-    ge_eff = jnp.where(is_term_col, tgeA_i, geA_i)
-    go_eff = jnp.where(is_term_col, tgeA_i, goA_i)
-    gb_e = GB_prev + ge_eff
-    gb_o = A_prev + go_eff
-    GB_row = jnp.where(col_valid, jnp.maximum(gb_e, gb_o), NEG)
-    dec_gb = (gb_e > gb_o).astype(jnp.int32)
+        # one stacked roll produces every j-1 view of the previous row;
+        # position 0 (DP col 1) receives the analytic column-0 boundary
+        if r == 0:
+            a0_prev = jnp.where(i == 0, 0.0, NEG)   # A[row-1, 0]
+        else:
+            a0_prev = NEG
+        stacked = jnp.stack([A_prev, GA_prev, GB_prev, goB], axis=0)
+        shifted = pltpu.roll(stacked, 1, axis=2)
+        A_prev_s = jnp.where(idx0, a0_prev, shifted[0])
+        GA_prev_s = jnp.where(idx0, NEG, shifted[1])
+        GB_prev_s = jnp.where(idx0, gb0_prev, shifted[2])
+        goB_s = jnp.where(idx0, 0.0, shifted[3])
 
-    # --- GA row (in-row scan); row-invariant prefix sums / shifted
-    # vectors are precomputed, terminal-row variant selected by mask ---
-    ge_row = jnp.where(is_last_row, tgeB, geB)
-    go_row = jnp.where(is_last_row, tgeB, goB)
-    C = jnp.where(is_last_row, C_term, C_norm)
-    go_next = jnp.where(is_last_row, tgeB_next, goB_next)
-    C_next = pltpu.roll(C, W - 1, axis=1)
-    u = A_row + go_next - C_next
-    u = jnp.where(cols < lb, u, NEG)  # only k < lb can open
-    cm = _cummax_axis1(u, W)
-    cm_s = jnp.where(col_pos, pltpu.roll(cm, 1, axis=1), NEG)
-    GA_row = jnp.where(col_valid & col_pos, cm_s + C, NEG)
+        # --- A row ---
+        diagA = A_prev_s
+        diagGA = GA_prev_s + goB_s
+        diagGB = GB_prev_s + goA_prev
+        best01 = jnp.maximum(diagA, diagGA)
+        # reference MAX3 keeps the LATER operand on ties (a > b ? a : b)
+        dec_a = jnp.where(diagGA >= diagA, 1, 0)
+        dec_a = jnp.where(diagGB >= best01, 2, dec_a)
+        A_row = jnp.maximum(best01, diagGB) + m_row
+        A_row = jnp.where(col_valid, A_row, NEG)
 
-    if with_dec:
-        ga_ext = pltpu.roll(GA_row, 1, axis=1) + ge_row
-        ga_open = pltpu.roll(A_row, 1, axis=1) + go_row
-        dec_ga = jnp.where(col_pos & (ga_ext > ga_open), 1, 0)
-        dec = jnp.where(col_pos, dec_a, 0) | (dec_ga << 2) | (dec_gb << 3)
-        dec_ref[0] = dec.astype(jnp.int32)
+        # --- GB row (prev-row only); col lb is terminal ---
+        ge_eff = jnp.where(is_term_col, tgeA_i, geA_i)
+        go_eff = jnp.where(is_term_col, tgeA_i, goA_i)
+        gb_e = GB_prev + ge_eff
+        gb_o = A_prev + go_eff
+        GB_row = jnp.where(col_valid, jnp.maximum(gb_e, gb_o), NEG)
+        dec_gb = (gb_e > gb_o).astype(jnp.int32)
 
-    A_new = jnp.where(row_valid, A_row, A_prev)
-    GA_new = jnp.where(row_valid, GA_row, GA_prev)
-    GB_new = jnp.where(row_valid, GB_row, GB_prev)
-    S_ref[0] = A_new
-    S_ref[1] = GA_new
-    S_ref[2] = GB_new
+        # --- GA row (in-row scan); row-invariant prefix sums / shifted
+        # vectors are precomputed, terminal-row variant masked in ---
+        ge_row = jnp.where(is_last_row, tgeB, geB)
+        go_row = jnp.where(is_last_row, tgeB, goB)
+        C = jnp.where(is_last_row, C_term, C_norm)
+        go_next = jnp.where(is_last_row, tgeB_next, goB_next)
+        C_next = pltpu.roll(C, W - 1, axis=1)
+        u = A_row + go_next - C_next
+        u = jnp.where(cols < lb, u, NEG)  # only k < lb can open
+        cm = _cummax_axis1(u, W)
+        cm_s = jnp.where(idx0, NEG, pltpu.roll(cm, 1, axis=1))
+        GA_row = jnp.where(col_valid, cm_s + C, NEG)
 
-    @pl.when(i == L1p - 1)
+        if with_dec:
+            ga_ext = jnp.where(idx0, NEG,
+                               pltpu.roll(GA_row, 1, axis=1)) + ge_row
+            ga_open = jnp.where(idx0, NEG,
+                                pltpu.roll(A_row, 1, axis=1)) + go_row
+            dec_ga = jnp.where(ga_ext > ga_open, 1, 0)
+            dec = dec_a | (dec_ga << 2) | (dec_gb << 3)
+            dec_ref[r] = dec.astype(jnp.int8)
+
+        A_prev = jnp.where(row_valid, A_row, A_prev)
+        GA_prev = jnp.where(row_valid, GA_row, GA_prev)
+        GB_prev = jnp.where(row_valid, GB_row, GB_prev)
+
+    S_ref[0] = A_prev
+    S_ref[1] = GA_prev
+    S_ref[2] = GB_prev
+
+    @pl.when(i == (L1p // R) - 1)
     def _finish():
         at_end = cols == lb
-        pick = lambda r: jnp.max(jnp.where(at_end, r, NEG), axis=1)
-        end_a = pick(A_new)
-        end_ga = pick(GA_new)
-        end_gb = pick(GB_new)
+        pick = lambda rr: jnp.max(jnp.where(at_end, rr, NEG), axis=1)
+        end_a = pick(A_prev)
+        end_ga = pick(GA_prev)
+        end_gb = pick(GB_prev)
         score = jnp.maximum(jnp.maximum(end_a, end_ga), end_gb)
         st = jnp.where(end_ga > end_a,
                        jnp.where(end_gb > end_ga, 2, 1),
@@ -169,48 +207,60 @@ def _kernel(lab_ref, match_ref, rowpen_ref, colpen_ref, ga0_ref,
         state_ref[:, 0] = st.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("bt", "interpret", "with_dec"))
+@functools.partial(jax.jit,
+                   static_argnames=("bt", "rows_per_step", "interpret",
+                                    "with_dec"))
 def gotoh_forward_pallas(match, pens_cols, pens_rows, la, lb, bt=8,
-                         interpret=False, with_dec=True):
+                         rows_per_step=8, interpret=False, with_dec=True):
     """match [B, L1p, L2p] f32; pens_cols [B, 3, L2p+1];
     pens_rows [B, 3, L1p+1]; la, lb [B] int32.
-    Returns dec [B, L1p, L2p+1] int32 (row r = DP row r+1), score [B],
-    end_state [B]."""
+    Returns dec [B, L1p, L2p] int8 (row r = DP row r+1, col c = DP
+    column c+1), score [B], end_state [B]."""
     B, L1p, L2p = match.shape
     assert B % bt == 0, (B, bt)
-    W = L2p + 1
+    R = rows_per_step
+    while L1p % R:
+        R //= 2
+    W = L2p
     lab = jnp.stack([la, lb], axis=1).astype(jnp.int32)
 
-    cols = jnp.arange(W)[None, :]
-    goB = pens_cols[:, 0, :]
-    geB = pens_cols[:, 1, :]
-    tgeB = pens_cols[:, 2, :]
+    # column-side vectors for DP cols 1..L2p (lane-aligned width L2p)
+    goB = pens_cols[:, 0, 1:]
+    geB = pens_cols[:, 1, 1:]
+    tgeB = pens_cols[:, 2, 1:]
 
     # row-invariant precomputations (on device, once per call)
-    zero0 = cols == 0
-    C_norm = jnp.cumsum(jnp.where(zero0, 0.0, geB), axis=1)
-    C_term = jnp.cumsum(jnp.where(zero0, 0.0, tgeB), axis=1)
-    goB_next = jnp.roll(goB, -1, axis=1)
-    tgeB_next = jnp.roll(tgeB, -1, axis=1)
+    C_norm = jnp.cumsum(geB, axis=1)
+    C_term = jnp.cumsum(tgeB, axis=1)
+    pad1 = jnp.zeros((B, 1), jnp.float32)
+    goB_next = jnp.concatenate([goB[:, 1:], pad1], axis=1)   # goB[j+1]
+    tgeB_next = jnp.concatenate([tgeB[:, 1:], pad1], axis=1)
+    cols = jnp.arange(1, W + 1)[None, :]
     col_valid = cols <= lb[:, None]
-    ga0 = jnp.where((cols >= 1) & col_valid, C_term, NEG).astype(jnp.float32)
+    ga0 = jnp.where(col_valid, C_term, NEG).astype(jnp.float32)
 
     colpen = jnp.stack([goB, geB, tgeB, C_norm, C_term, goB_next, tgeB_next,
                         jnp.zeros_like(goB)], axis=1)  # [B, 8, W]
 
-    # per-row scalar stream [L1p, B, 4]: goA_i, geA_i, tgeA_i, goA_prev
+    # per-row scalar stream [B, L1p, 8]:
+    # goA_i, geA_i, tgeA_i, goA_prev, gb0_prev (= GB[row-1, 0])
     goA = pens_rows[:, 0, :]
     geA = pens_rows[:, 1, :]
     tgeA = pens_rows[:, 2, :]
-    rowpen = jnp.stack([goA[:, 1:], geA[:, 1:], tgeA[:, 1:], goA[:, :L1p]],
-                       axis=2)  # [B, L1p, 4]
-    rowpen = jnp.transpose(rowpen, (1, 0, 2)).astype(jnp.float32)
-
+    cum_tgeA = jnp.cumsum(tgeA[:, 1:], axis=1)       # [B, L1p]; col r-1 = GB[r,0]
+    gb0 = jnp.concatenate(
+        [jnp.full((B, 1), NEG, jnp.float32), cum_tgeA[:, :L1p - 1]], axis=1)
+    zeros = jnp.zeros((B, L1p), jnp.float32)
+    rowpen = jnp.stack([goA[:, 1:], geA[:, 1:], tgeA[:, 1:], goA[:, :L1p],
+                        gb0, zeros, zeros, zeros],
+                       axis=2).astype(jnp.float32)   # [B, L1p, 8]
+    rowpen = jnp.transpose(rowpen, (1, 0, 2))        # stream rows first
     match_t = jnp.transpose(match, (1, 0, 2))
 
-    grid = (B // bt, L1p)
-    kernel = functools.partial(_kernel, L2p=L2p, L1p=L1p, with_dec=with_dec)
-    dec_rows = L1p if with_dec else 1
+    grid = (B // bt, L1p // R)
+    kernel = functools.partial(_kernel, L2p=L2p, L1p=L1p, R=R,
+                               with_dec=with_dec)
+    dec_rows = L1p if with_dec else R
     dec_map = (lambda b, i: (i, b, 0)) if with_dec else (lambda b, i: (0, b, 0))
     dec, score, state = pl.pallas_call(
         kernel,
@@ -218,9 +268,9 @@ def gotoh_forward_pallas(match, pens_cols, pens_rows, la, lb, bt=8,
         in_specs=[
             pl.BlockSpec((bt, 2), lambda b, i: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt, L2p), lambda b, i: (i, b, 0),
+            pl.BlockSpec((R, bt, L2p), lambda b, i: (i, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt, 4), lambda b, i: (i, b, 0),
+            pl.BlockSpec((R, bt, 8), lambda b, i: (i, b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, 8, W), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -228,14 +278,14 @@ def gotoh_forward_pallas(match, pens_cols, pens_rows, la, lb, bt=8,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, bt, W), dec_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, bt, W), dec_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, 1), lambda b, i: (b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, 1), lambda b, i: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((dec_rows, B, W), jnp.int32),
+            jax.ShapeDtypeStruct((dec_rows, B, W), jnp.int8),
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
         ],
@@ -244,6 +294,16 @@ def gotoh_forward_pallas(match, pens_cols, pens_rows, la, lb, bt=8,
         ],
         interpret=interpret,
     )(lab, match_t, rowpen, colpen, ga0)
+    score = score[:, 0]
+    state = state[:, 0]
+    # degenerate lb == 0: the whole path is a terminal column-0 gap run;
+    # its score is the cumulative terminal row penalty at row la
+    lb0_score = jnp.take_along_axis(
+        jnp.concatenate([jnp.zeros((B, 1), jnp.float32), cum_tgeA], axis=1),
+        la[:, None].astype(jnp.int32), axis=1)[:, 0]
+    is_lb0 = lb == 0
+    score = jnp.where(is_lb0, lb0_score, score)
+    state = jnp.where(is_lb0, 2, state)
     if with_dec:
         dec = jnp.transpose(dec, (1, 0, 2))
-    return dec, score[:, 0], state[:, 0]
+    return dec, score, state

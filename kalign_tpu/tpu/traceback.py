@@ -1,6 +1,8 @@
 """On-device traceback over packed decision matrices.
 
-Walks the [L1p, W] decision matrix produced by the forward kernel with a
+Walks the [L1p, L2p] decision matrix produced by the forward kernel
+(row r = DP row r+1, col c = DP column c+1; DP column 0 is analytic:
+only its GB bit matters and it is "open" exactly at row 1) with a
 lax.while_loop, emitting the 0/1/2 step sequence in reverse.  Keeping
 this on device means only the O(L1+L2) step list crosses HBM->host (the
 decision matrix itself — up to GBs for a level batch — never moves).
@@ -23,9 +25,9 @@ STEP_PAD = 3
 
 @partial(jax.jit, static_argnames=("max_steps",))
 def traceback_batch(dec, la, lb, end_state, max_steps):
-    """dec [B, L1p, W] int32 (row r = DP row r+1); la, lb, end_state [B].
-    Returns steps [B, max_steps] int8 in FORWARD order, padded with 3,
-    and n_steps [B]."""
+    """dec [B, L1p, L2p] int8 (row r = DP row r+1, col c = DP col c+1);
+    la, lb, end_state [B].  Returns steps [B, max_steps] int8 in FORWARD
+    order, padded with 3, and n_steps [B]."""
 
     def one(dec_b, la_b, lb_b, st_b):
         steps = jnp.full((max_steps,), STEP_PAD, jnp.int8)
@@ -36,7 +38,12 @@ def traceback_batch(dec, la, lb, end_state, max_steps):
 
         def body(c):
             i, j, st, n, steps = c
-            d = dec_b[jnp.maximum(i - 1, 0), j]
+            d = dec_b[jnp.maximum(i - 1, 0),
+                      jnp.maximum(j - 1, 0)].astype(jnp.int32)
+            # DP column 0 is not materialised: its only consulted bit is
+            # GB's, which is "open from A" exactly at row 1
+            d = jnp.where(j > 0, d,
+                          jnp.where(i > 1, DEC_GB_EXT, 0))
 
             # state A at (i, j): emit match, move diagonally
             in_a = st == 0
