@@ -50,6 +50,19 @@ def build_parser():
     p.add_argument("--adaptive-budget", action="store_true")
     p.add_argument("--ensemble", nargs="?", const=5, type=int, default=0)
     p.add_argument("--ensemble-seed", type=int, default=42)
+    # distributed ensemble: each worker process aligns runs
+    # k % workers == worker into --ensemble-scratch; a final
+    # --ensemble-merge invocation combines POAR tables and finalises
+    p.add_argument("--ensemble-scratch", default=None,
+                   help="shared directory for distributed ensemble "
+                        "partials (worker + merge modes)")
+    p.add_argument("--ensemble-worker", type=int, default=None,
+                   help="this process's worker id (0-based)")
+    p.add_argument("--ensemble-workers", type=int, default=None,
+                   help="total number of worker processes")
+    p.add_argument("--ensemble-merge", action="store_true",
+                   help="merge worker partials from --ensemble-scratch "
+                        "and write the final alignment")
     p.add_argument("--min-support", type=int, default=0)
     p.add_argument("--save-poar", default=None)
     p.add_argument("--load-poar", default=None)
@@ -105,6 +118,38 @@ def main(argv=None):
         from kalign_tpu.ensemble import consensus_from_poar
         msa = consensus_from_poar(msa, args.load_poar,
                                   args.min_support if args.min_support > 0 else 2)
+    elif ensemble > 0 and args.ensemble_worker is not None:
+        from kalign_tpu.ensemble import ensemble_worker
+        if not args.ensemble_scratch:
+            raise SystemExit("--ensemble-worker requires --ensemble-scratch")
+        workers = args.ensemble_workers or 1
+        done = ensemble_worker(
+            msa, args.ensemble_worker, workers, args.ensemble_scratch,
+            n_runs=ensemble, n_threads=args.nthreads, type_=type_,
+            gpo=args.gpo, gpe=args.gpe, tgpe=args.tgpe,
+            seed=args.ensemble_seed, refine=refine,
+            vsm_amax=args.vsm_amax, realign=realign,
+            consistency_anchors=consistency,
+            consistency_weight=args.consistency_weight,
+            engine=args.engine)
+        if not args.quiet:
+            print(f"worker {args.ensemble_worker}/{workers}: runs {done} "
+                  f"written to {args.ensemble_scratch}", file=sys.stderr)
+        return 0
+    elif ensemble > 0 and args.ensemble_merge:
+        from kalign_tpu.ensemble import ensemble_merge
+        if not args.ensemble_scratch:
+            raise SystemExit("--ensemble-merge requires --ensemble-scratch")
+        msa = ensemble_merge(msa, args.ensemble_scratch, n_runs=ensemble,
+                             n_threads=args.nthreads, type_=type_,
+                             gpo=args.gpo, gpe=args.gpe, tgpe=args.tgpe,
+                             seed=args.ensemble_seed,
+                             min_support=args.min_support,
+                             save_poar=args.save_poar,
+                             vsm_amax=args.vsm_amax,
+                             consistency_anchors=consistency,
+                             consistency_weight=args.consistency_weight,
+                             engine=args.engine)
     elif ensemble > 0:
         from kalign_tpu.ensemble import ensemble_align
         msa = ensemble_align(msa, n_threads=args.nthreads, type_=type_,

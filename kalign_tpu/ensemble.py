@@ -48,6 +48,65 @@ def resolve_run_params(base_gpo, base_gpe, base_tgpe, k, seed):
             seed + k, noise)
 
 
+def _align_one_run(msa: Msa, k: int, base, seed, n_threads, type_, refine,
+                   dist_scale, vsm_amax, realign, use_seq_weights,
+                   consistency_anchors, consistency_weight, engine) -> Msa:
+    base_gpo, base_gpe, base_tgpe = base
+    run_gpo, run_gpe, run_tgpe, run_seed, run_noise = resolve_run_params(
+        base_gpo, base_gpe, base_tgpe, k, seed)
+    copy = msa.copy()
+    copy.quiet = True
+    if realign > 0:
+        return E.align_msa(copy, n_threads=n_threads, type_=type_,
+                           gpo=run_gpo, gpe=run_gpe, tgpe=run_tgpe,
+                           refine=refine, dist_scale=dist_scale,
+                           vsm_amax=vsm_amax, realign=realign,
+                           use_seq_weights=use_seq_weights,
+                           consistency_anchors=consistency_anchors,
+                           consistency_weight=consistency_weight,
+                           engine=engine)
+    return E.align_msa(copy, n_threads=n_threads, type_=type_,
+                       gpo=run_gpo, gpe=run_gpe, tgpe=run_tgpe,
+                       refine=refine,
+                       tree_seed=run_seed, tree_noise=run_noise,
+                       dist_scale=dist_scale, vsm_amax=vsm_amax,
+                       use_seq_weights=use_seq_weights,
+                       consistency_anchors=consistency_anchors,
+                       consistency_weight=consistency_weight,
+                       engine=engine)
+
+
+def ensemble_run_subset(msa: Msa, run_ids, n_threads=1, type_=0,
+                        gpo=-1.0, gpe=-1.0, tgpe=-1.0, seed=42,
+                        refine=P.REFINE_NONE, dist_scale=0.0, vsm_amax=-1.0,
+                        realign=0, use_seq_weights=0.0,
+                        consistency_anchors=0, consistency_weight=2.0,
+                        engine="host"):
+    """Align a subset of ensemble runs (the distributed unit of work).
+
+    Runs are embarrassingly parallel: run k's parameters depend only on
+    (k, seed) (resolve_run_params), so any partition of 0..n_runs-1
+    across processes reproduces the sequential ensemble bit-exactly.
+    Returns (partial PoarTable with each run's support bit set at its
+    GLOBAL index, {k: aligned row strings})."""
+    msa.essential_input_check()
+    if msa.biotype == 2:
+        msa.detect_alphabet()
+    base_ap = P.aln_param_init(msa.biotype, type_, gpo, gpe, tgpe, n_threads)
+    base = (base_ap.gpo, base_ap.gpe, base_ap.tgpe)
+    poar = PoarTable(msa.numseq)
+    rows_by_k = {}
+    for k in run_ids:
+        aligned = _align_one_run(msa, k, base, seed, n_threads, type_,
+                                 refine, dist_scale, vsm_amax, realign,
+                                 use_seq_weights, consistency_anchors,
+                                 consistency_weight, engine)
+        rows = aligned.aligned_rows()
+        poar.extract(pos_matrix(rows), k)
+        rows_by_k[k] = rows
+    return poar, rows_by_k
+
+
 def ensemble_align(msa: Msa, n_threads: int = 1, type_: int = 0,
                    n_runs: int = 3, gpo: float = -1.0, gpe: float = -1.0,
                    tgpe: float = -1.0, seed: int = 42, min_support: int = 0,
@@ -63,46 +122,36 @@ def ensemble_align(msa: Msa, n_threads: int = 1, type_: int = 0,
         use_seq_weights = 0.0
 
     msa.essential_input_check()
-    numseq = msa.numseq
     if msa.biotype == 2:
         msa.detect_alphabet()
 
     base_ap = P.aln_param_init(msa.biotype, type_, gpo, gpe, tgpe, n_threads)
-    base_gpo, base_gpe, base_tgpe = base_ap.gpo, base_ap.gpe, base_ap.tgpe
+    base = (base_ap.gpo, base_ap.gpe, base_ap.tgpe)
 
-    poar = PoarTable(numseq)
-    alignments: List[Msa] = []
-
-    for k in range(n_runs):
-        run_gpo, run_gpe, run_tgpe, run_seed, run_noise = resolve_run_params(
-            base_gpo, base_gpe, base_tgpe, k, seed)
-        copy = msa.copy()
-        copy.quiet = True
-        if realign > 0:
-            aligned = E.align_msa(copy, n_threads=n_threads, type_=type_,
-                                  gpo=run_gpo, gpe=run_gpe, tgpe=run_tgpe,
-                                  refine=refine, dist_scale=dist_scale,
-                                  vsm_amax=vsm_amax, realign=realign,
-                                  use_seq_weights=use_seq_weights,
-                                  consistency_anchors=consistency_anchors,
-                                  consistency_weight=consistency_weight,
-                                  engine=engine)
-        else:
-            aligned = E.align_msa(copy, n_threads=n_threads, type_=type_,
-                                  gpo=run_gpo, gpe=run_gpe, tgpe=run_tgpe,
-                                  refine=refine,
-                                  tree_seed=run_seed, tree_noise=run_noise,
-                                  dist_scale=dist_scale, vsm_amax=vsm_amax,
-                                  use_seq_weights=use_seq_weights,
-                                  consistency_anchors=consistency_anchors,
-                                  consistency_weight=consistency_weight,
-                                  engine=engine)
-        poar.extract(pos_matrix(aligned.aligned_rows()), k)
-        alignments.append(aligned)
+    poar, rows_by_k = ensemble_run_subset(
+        msa, range(n_runs), n_threads=n_threads, type_=type_, gpo=gpo,
+        gpe=gpe, tgpe=tgpe, seed=seed, refine=refine, dist_scale=dist_scale,
+        vsm_amax=vsm_amax, realign=realign, use_seq_weights=use_seq_weights,
+        consistency_anchors=consistency_anchors,
+        consistency_weight=consistency_weight, engine=engine)
 
     # score each run: prefer run 0 unless >5% improvement (ensemble.c:116-124)
-    scores = [poar.score_alignment(pos_matrix(a.aligned_rows()))
-              for a in alignments]
+    scores = [poar.score_alignment(pos_matrix(rows_by_k[k]))
+              for k in range(n_runs)]
+    return _ensemble_finalize(
+        msa, poar, rows_by_k, scores, base, seed, n_threads, type_,
+        min_support, save_poar, dist_scale, vsm_amax, use_seq_weights,
+        consistency_anchors, consistency_weight, engine)
+
+
+def _ensemble_finalize(msa: Msa, poar: PoarTable, rows_by_k, scores,
+                       base, seed, n_threads, type_, min_support,
+                       save_poar, dist_scale, vsm_amax, use_seq_weights,
+                       consistency_anchors, consistency_weight,
+                       engine) -> Msa:
+    """Selection / consensus / post-refinement over the merged POAR
+    table and the full set of run alignments (ensemble.c:84-466)."""
+    n_runs = len(scores)
     best_k = 0
     baseline = scores[0]
     for k in range(1, n_runs):
@@ -112,7 +161,7 @@ def ensemble_align(msa: Msa, n_threads: int = 1, type_: int = 0,
     if save_poar:
         poar.write(save_poar)
 
-    ungapped = [a.replace("-", "") for a in alignments[0].aligned_rows()]
+    ungapped = [a.replace("-", "") for a in rows_by_k[0]]
 
     use_consensus = False
     consensus_rows = None
@@ -128,29 +177,22 @@ def ensemble_align(msa: Msa, n_threads: int = 1, type_: int = 0,
         else:
             consensus_rows = None
 
+    winner_rows = rows_by_k[best_k]
     if not use_consensus:
         # post-selection refinement with REFINE_CONFIDENT (ensemble.c:403-451)
-        ref_gpo, ref_gpe, ref_tgpe, ref_seed, ref_noise = resolve_run_params(
-            base_gpo, base_gpe, base_tgpe, best_k, seed)
-        copy = msa.copy()
-        copy.quiet = True
-        refined = E.align_msa(copy, n_threads=n_threads, type_=type_,
-                              gpo=ref_gpo, gpe=ref_gpe, tgpe=ref_tgpe,
-                              refine=P.REFINE_CONFIDENT,
-                              tree_seed=ref_seed, tree_noise=ref_noise,
-                              dist_scale=dist_scale, vsm_amax=vsm_amax,
-                              use_seq_weights=use_seq_weights,
-                              consistency_anchors=consistency_anchors,
-                              consistency_weight=consistency_weight,
-                              engine=engine)
-        refined_score = poar.score_alignment(pos_matrix(refined.aligned_rows()))
+        refined = _align_one_run(msa, best_k, base, seed, n_threads, type_,
+                                 P.REFINE_CONFIDENT, dist_scale, vsm_amax,
+                                 0, use_seq_weights, consistency_anchors,
+                                 consistency_weight, engine)
+        refined_score = poar.score_alignment(
+            pos_matrix(refined.aligned_rows()))
         if refined_score > scores[best_k]:
-            alignments[best_k] = refined
+            winner_rows = refined.aligned_rows()
 
     # install winner into the input msa (original input order preserved:
     # each run's result was rank-restored)
-    winner_rows = consensus_rows if use_consensus \
-        else alignments[best_k].aligned_rows()
+    if use_consensus:
+        winner_rows = consensus_rows
     for sq, row in zip(msa.sequences, winner_rows):
         sq.seq = row
     msa.alnlen = len(winner_rows[0])
@@ -161,6 +203,69 @@ def ensemble_align(msa: Msa, n_threads: int = 1, type_: int = 0,
         sq.confidence = conf[i].tolist()
     msa.col_confidence = col_conf
     return msa
+
+
+def ensemble_worker(msa: Msa, worker: int, workers: int, scratch: str,
+                    n_runs: int = 3, **kwargs) -> List[int]:
+    """Distributed ensemble, map phase: align this worker's share of the
+    runs (k % workers == worker) and persist the partial POAR table and
+    per-run aligned rows into `scratch`.  Any process/host can run any
+    worker id; results are bit-identical to the sequential ensemble.
+    kwargs are forwarded to ensemble_run_subset."""
+    import os
+    os.makedirs(scratch, exist_ok=True)
+    run_ids = [k for k in range(n_runs) if k % workers == worker]
+    poar, rows_by_k = ensemble_run_subset(msa, run_ids, **kwargs)
+    poar.write(os.path.join(scratch, f"poar.w{worker}.bin"))
+    for k, rows in rows_by_k.items():
+        with open(os.path.join(scratch, f"run{k:03d}.rows.txt"), "w") as f:
+            f.write("\n".join(rows) + "\n")
+    return run_ids
+
+
+def ensemble_merge(msa: Msa, scratch: str, n_runs: int = 3,
+                   n_threads: int = 1, type_: int = 0,
+                   gpo: float = -1.0, gpe: float = -1.0, tgpe: float = -1.0,
+                   seed: int = 42, min_support: int = 0,
+                   save_poar: Optional[str] = None,
+                   dist_scale: float = 0.0, vsm_amax: float = -1.0,
+                   use_seq_weights: float = 0.0,
+                   consistency_anchors: int = 0,
+                   consistency_weight: float = 2.0,
+                   engine: str = "host") -> Msa:
+    """Distributed ensemble, reduce phase: OR-merge the workers' partial
+    POAR tables, reload every run's alignment, then run the sequential
+    selection / consensus / refinement logic."""
+    import glob
+    import os
+    from kalign_tpu.parallel.distributed import merge_poar_tables
+
+    msa.essential_input_check()
+    if msa.biotype == 2:
+        msa.detect_alphabet()
+    base_ap = P.aln_param_init(msa.biotype, type_, gpo, gpe, tgpe, n_threads)
+    base = (base_ap.gpo, base_ap.gpe, base_ap.tgpe)
+
+    parts = sorted(glob.glob(os.path.join(scratch, "poar.w*.bin")))
+    if not parts:
+        raise FileNotFoundError(f"no partial POAR tables in {scratch}")
+    poar = merge_poar_tables([PoarTable.read(p) for p in parts])
+    poar.n_alignments = n_runs
+
+    rows_by_k = {}
+    for k in range(n_runs):
+        path = os.path.join(scratch, f"run{k:03d}.rows.txt")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"run {k} missing from {scratch} (incomplete workers?)")
+        with open(path) as f:
+            rows_by_k[k] = f.read().splitlines()
+    scores = [poar.score_alignment(pos_matrix(rows_by_k[k]))
+              for k in range(n_runs)]
+    return _ensemble_finalize(
+        msa, poar, rows_by_k, scores, base, seed, n_threads, type_,
+        min_support, save_poar, dist_scale, vsm_amax, use_seq_weights,
+        consistency_anchors, consistency_weight, engine)
 
 
 def consensus_from_poar(msa: Msa, poar_path: str, min_support: int) -> Msa:

@@ -51,6 +51,12 @@ class ConsistencyTable:
         maps: List[np.ndarray] = [None] * (n * K)
         base = P.AlnParam(**{**ap.__dict__})
         base.subm_offset = 0.0
+        profiles = [leaf_profile(c, base.subm, base.gpo, base.gpe,
+                                 base.tgpe, 0.0) for c in codes]
+        # assemble all N*K pairwise problems, shorter side on rows, and
+        # run them as bucketed batched launches (one per padded shape)
+        jobs = []      # (i, k, swapped)
+        pairs = []
         for i in range(n):
             li = len(codes[i])
             for k, ak in enumerate(anchors):
@@ -58,23 +64,22 @@ class ConsistencyTable:
                     maps[i * K + k] = np.arange(li, dtype=np.int64)
                     continue
                 lk = len(codes[ak])
-                pi = leaf_profile(codes[i], base.subm, base.gpo, base.gpe,
-                                  base.tgpe, 0.0)
-                pk = leaf_profile(codes[ak], base.subm, base.gpo, base.gpe,
-                                  base.tgpe, 0.0)
                 if li <= lk:
-                    steps, _ = engine._dp(pi, pk, 1, 1, None)
-                    gap_i, gap_k = 1, 2
+                    pairs.append((profiles[i], profiles[ak]))
+                    jobs.append((i, k, False))
                 else:
-                    steps, _ = engine._dp(pk, pi, 1, 1, None)
-                    gap_i, gap_k = 2, 1
-                # map residue of i -> residue of anchor at match steps
-                pos_i = np.cumsum(steps != gap_i) - 1
-                pos_k = np.cumsum(steps != gap_k) - 1
-                m = np.full(li, -1, dtype=np.int64)
-                sel = steps == 0
-                m[pos_i[sel]] = pos_k[sel]
-                maps[i * K + k] = m
+                    pairs.append((profiles[ak], profiles[i]))
+                    jobs.append((i, k, True))
+        all_steps = engine._dp_leaf_batch(pairs)
+        for (i, k, swapped), steps in zip(jobs, all_steps):
+            gap_i, gap_k = (2, 1) if swapped else (1, 2)
+            # map residue of i -> residue of anchor at match steps
+            pos_i = np.cumsum(steps != gap_i) - 1
+            pos_k = np.cumsum(steps != gap_k) - 1
+            m = np.full(len(codes[i]), -1, dtype=np.int64)
+            sel = steps == 0
+            m[pos_i[sel]] = pos_k[sel]
+            maps[i * K + k] = m
         return cls(K=K, weight=weight, anchor_ids=anchors, pos_maps=maps,
                    numseq=n)
 

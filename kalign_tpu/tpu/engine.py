@@ -34,6 +34,16 @@ def _bucket(n: int, q: int = 128) -> int:
     return max(q, ((n + q - 1) // q) * q)
 
 
+def _pow2_batch(B: int) -> int:
+    """Pad batch sizes to powers of two (min 8) so device launches hit a
+    BOUNDED set of compiled shapes: guide-tree levels shrink per level
+    and would otherwise recompile at every distinct merge count."""
+    p = 8
+    while p < B:
+        p *= 2
+    return p
+
+
 @jax.jit
 def _match_matmul(counts, subrows):
     return jnp.dot(counts, subrows.T, preferred_element_type=jnp.float32)
@@ -88,8 +98,8 @@ class TpuEngine:
         if self.use_pallas:
             from kalign_tpu.tpu.gotoh_pallas import pick_bt
             from kalign_tpu.tpu.traceback import traceback_batch
-            bt = pick_bt(B, rhs.shape[1])
-            Bp = ((B + bt - 1) // bt) * bt
+            Bp = _pow2_batch(B)
+            bt = min(pick_bt(Bp, rhs.shape[1]), Bp)
             if Bp != B:
                 pad = Bp - B
 
@@ -134,8 +144,8 @@ class TpuEngine:
         if self.use_pallas:
             from kalign_tpu.tpu.gotoh_pallas import gotoh_forward_pallas, pick_bt
             from kalign_tpu.tpu.traceback import traceback_batch
-            bt = pick_bt(B, match.shape[2])
-            Bp = ((B + bt - 1) // bt) * bt
+            Bp = _pow2_batch(B)
+            bt = min(pick_bt(Bp, match.shape[2]), Bp)
             if Bp != B:
                 pad = Bp - B
                 match = np.concatenate([match, np.zeros((pad,) + match.shape[1:], match.dtype)])
@@ -175,18 +185,14 @@ class TpuEngine:
         reference's flip-perturbation refinement: each merge runs K
         candidate DPs with different diagonal-bias strengths (perturbing
         exactly the near-ties the reference flips) and keeps the best by
-        expected sum-of-pairs (sp_score.c semantics)."""
-        refine_candidates = (1e-3,) if refine_mode == 0 else             (1e-3, 0.0, 4e-3)
-        n = len(codes)
-        nprof = 2 * n - 1
-        lens = [len(c) for c in codes]
-        gaps = [[0] * (l + 1) for l in lens]
-        sip: List[Optional[List[int]]] = [[i] for i in range(n)] + \
-            [None] * (n - 1)
-        nsip = [1] * n + [0] * (n - 1)
-        profiles: List[Optional[Profile]] = [None] * nprof
-        conf = np.zeros(n - 1, dtype=np.float32)
+        expected sum-of-pairs (sp_score.c semantics).
 
+        REFINE_CONFIDENT is two-pass like the reference (aln_refine.c
+        mode REFINE_CONFIDENT): pass 1 runs every merge with two cheap
+        candidates and flags the merges whose candidate paths DISAGREE
+        (the score-near-tie merges — the TPU-native analogue of low
+        meetup margin); pass 2 replays the tree, spending the full
+        candidate budget only on the flagged merges."""
         sd = None if seq_distances is None else np.asarray(seq_distances)
 
         ct = None
@@ -196,6 +202,37 @@ class TpuEngine:
             ct = ConsistencyTable.build(self, codes, ap, csd,
                                         ap.consistency_anchors,
                                         ap.consistency_weight)
+
+        full = (1e-3, 0.0, 4e-3)
+        if refine_mode == P.REFINE_CONFIDENT:
+            probe = (1e-3, 0.0)
+            _, _, disagree = self._progressive(codes, tasks, ap, sd, ct,
+                                               lambda t: probe)
+            gaps, conf, _ = self._progressive(
+                codes, tasks, ap, sd, ct,
+                lambda t: full if disagree[t] else (1e-3,))
+            return gaps, conf
+        cand = (1e-3,) if refine_mode == P.REFINE_NONE else full
+        gaps, conf, _ = self._progressive(codes, tasks, ap, sd, ct,
+                                          lambda t: cand)
+        return gaps, conf
+
+    def _progressive(self, codes, tasks, ap: P.AlnParam, sd, ct, cand_for):
+        """One bottom-up progressive pass.  cand_for(task_idx) gives the
+        tuple of centering-bias candidates for that merge; merges with
+        the same candidate tuple and padded shape batch into one launch.
+        Returns (gaps, conf, disagree[task]) where disagree marks merges
+        whose candidates produced different paths."""
+        n = len(codes)
+        nprof = 2 * n - 1
+        lens = [len(c) for c in codes]
+        gaps = [[0] * (l + 1) for l in lens]
+        sip: List[Optional[List[int]]] = [[i] for i in range(n)] + \
+            [None] * (n - 1)
+        nsip = [1] * n + [0] * (n - 1)
+        profiles: List[Optional[Profile]] = [None] * nprof
+        conf = np.zeros(n - 1, dtype=np.float32)
+        disagree = np.zeros(n - 1, dtype=bool)
 
         order = np.asarray(tasks)[np.argsort(np.asarray(tasks)[:, 2])]
         task_index = {int(c): t for t, (_, _, c) in enumerate(order)}
@@ -234,14 +271,16 @@ class TpuEngine:
                 batch.append((c, a, b, rows_node, cols_node, prof_r, prof_c,
                               cols_is_leaf, ct))
 
-            # bucket by padded shape
+            # bucket by padded shape and candidate set
             buckets = {}
             for item in batch:
+                c = item[0]
                 _, _, _, rn, cn, prof_r, prof_c, _, _ = item
-                key = (_bucket(prof_r.length), _bucket(prof_c.length))
+                key = (_bucket(prof_r.length), _bucket(prof_c.length),
+                       cand_for(task_index[c]))
                 buckets.setdefault(key, []).append(item)
 
-            for (L1p, L2p), items in buckets.items():
+            for (L1p, L2p, refine_candidates), items in buckets.items():
                 B = len(items)
                 K = len(refine_candidates)
                 pc = np.zeros((B, 3, L2p + 1), np.float32)
@@ -280,9 +319,11 @@ class TpuEngine:
                     eps = np.repeat(np.asarray(refine_candidates, np.float32), B)
                     all_steps, all_scores = self._run_bucket(
                         lhs, rhs, pc_k, pr_k, la_k, lb_k, eps, bonus_k)
-                    steps_list, scores = self._select_candidates(
+                    steps_list, scores, multi = self._select_candidates(
                         items, all_steps, all_scores, B, K, sip, nsip, gaps,
                         lens, ap)
+                    for k, item in enumerate(items):
+                        disagree[task_index[item[0]]] = multi[k]
                 else:
                     eps = np.full(B, refine_candidates[0], np.float32)
                     steps_list, scores = self._run_bucket(
@@ -307,7 +348,7 @@ class TpuEngine:
                     weave_steps(steps, gaps, sip[a], sip[b])
                     nsip[c] = nsip[a] + nsip[b]
                     sip[c] = list(reversed(sip[a])) + list(reversed(sip[b]))
-        return gaps, conf
+        return gaps, conf, disagree
 
     # ------------------------------------------------------------------
     def _match(self, prof_r: Profile, prof_c: Profile, L1p, L2p,
@@ -347,6 +388,7 @@ class TpuEngine:
                                             sp_score_from_profiles)
         steps_out = []
         scores_out = np.zeros(B, dtype=np.float64)
+        multi_out = np.zeros(B, dtype=bool)
         for k, (c, a, b, rn, cn, prof_r, prof_c, _, _) in enumerate(items):
             ga = column_gap_counts(prof_r.length, nsip[rn], sip[rn], lens, gaps)
             gb = column_gap_counts(prof_c.length, nsip[cn], sip[cn], lens, gaps)
@@ -368,7 +410,8 @@ class TpuEngine:
                     best = st
             steps_out.append(best)
             scores_out[k] = best_sp
-        return steps_out, scores_out
+            multi_out[k] = len(seen) > 1
+        return steps_out, scores_out, multi_out
 
     def _effective(self, ap: P.AlnParam, sd, sip, a, b, n):
         gs, so = 1.0, 0.0
@@ -394,6 +437,38 @@ class TpuEngine:
             profiles[node] = leaf_profile(codes[node], eff.subm, eff.gpo,
                                           eff.gpe, eff.tgpe, eff.subm_offset)
         return profiles[node]
+
+    def _dp_leaf_batch(self, pairs):
+        """Batched seq x seq DP over many (prof_rows, prof_cols) leaf
+        pairs (the consistency map workload, anchor_consistency.c:246-267).
+        Problems are bucketed by padded shape; each bucket is ONE fused
+        device launch.  Returns a list of step arrays in input order."""
+        buckets = {}
+        for idx, (prof_r, prof_c) in enumerate(pairs):
+            key = (_bucket(prof_r.length), _bucket(prof_c.length))
+            buckets.setdefault(key, []).append((idx, prof_r, prof_c))
+        out: List[Optional[np.ndarray]] = [None] * len(pairs)
+        for (L1p, L2p), items in buckets.items():
+            B = len(items)
+            lhs = np.zeros((B, L1p, 23), np.float32)
+            rhs = np.zeros((B, L2p, 23), np.float32)
+            pc = np.zeros((B, 3, L2p + 1), np.float32)
+            pr = np.zeros((B, 3, L1p + 1), np.float32)
+            la = np.zeros(B, np.int32)
+            lb = np.zeros(B, np.int32)
+            for k, (idx, prof_r, prof_c) in enumerate(items):
+                la[k] = prof_r.length
+                lb[k] = prof_c.length
+                lhs[k, :la[k]] = prof_r.counts
+                rhs[k, :lb[k]] = prof_c.subrows
+                pc[k, :, 1:lb[k] + 1] = prof_c.pen[1:-1].T
+                pr[k, :, 1:la[k] + 1] = prof_r.pen[1:-1].T
+            eps = np.full(B, 1e-3, np.float32)
+            steps_list, _ = self._run_bucket(lhs, rhs, pc, pr, la, lb,
+                                             eps, None)
+            for k, (idx, _, _) in enumerate(items):
+                out[idx] = np.asarray(steps_list[k], np.int8)
+        return out
 
     # single-problem helper used by consistency map building
     def _dp(self, prof_rows: Profile, prof_cols: Profile, nsip_rows: int,

@@ -72,3 +72,49 @@ def test_residue_confidence_bounds():
     assert msa.col_confidence is not None
     assert np.all(msa.col_confidence >= 0.0)
     assert np.all(msa.col_confidence <= 1.0)
+
+
+def test_distributed_ensemble_matches_sequential(tmp_path):
+    """Worker/merge partitioning (any number of workers) reproduces the
+    sequential ensemble byte-for-byte."""
+    from kalign_tpu.core.msa import Msa
+    from kalign_tpu.ensemble import (ensemble_align, ensemble_merge,
+                                     ensemble_worker)
+    seqs, names = _seqs()
+
+    msa_seq = Msa.from_sequences(seqs, names)
+    msa_seq = ensemble_align(msa_seq, n_runs=3, consistency_anchors=5)
+    ref_rows = [sq.seq for sq in msa_seq.sequences]
+    ref_conf = msa_seq.col_confidence.copy()
+
+    scratch = str(tmp_path / "ens")
+    for w in range(2):  # 2 workers, 3 runs: worker 0 -> {0, 2}, 1 -> {1}
+        m = Msa.from_sequences(seqs, names)
+        ensemble_worker(m, w, 2, scratch, n_runs=3,
+                        consistency_anchors=5)
+    msa_d = Msa.from_sequences(seqs, names)
+    msa_d = ensemble_merge(msa_d, scratch, n_runs=3,
+                           consistency_anchors=5)
+    assert [sq.seq for sq in msa_d.sequences] == ref_rows
+    assert np.allclose(msa_d.col_confidence, ref_conf)
+
+
+def test_distributed_ensemble_cli(tmp_path):
+    """The --ensemble-worker / --ensemble-merge CLI flow produces the
+    same file as the single-process --ensemble run."""
+    from kalign_tpu import cli
+    inp = os.path.join(DATA, "BB11001.tfa")
+    out_seq = str(tmp_path / "seq.afa")
+    out_dist = str(tmp_path / "dist.afa")
+    scratch = str(tmp_path / "scratch")
+    assert cli.main(["-i", inp, "-o", out_seq, "--ensemble", "3",
+                     "-q"]) == 0
+    for w in range(3):
+        assert cli.main(["-i", inp, "--ensemble", "3",
+                         "--ensemble-scratch", scratch,
+                         "--ensemble-worker", str(w),
+                         "--ensemble-workers", "3", "-q"]) == 0
+    assert cli.main(["-i", inp, "-o", out_dist, "--ensemble", "3",
+                     "--ensemble-scratch", scratch, "--ensemble-merge",
+                     "-q"]) == 0
+    assert open(out_seq).read() == open(out_dist).read()

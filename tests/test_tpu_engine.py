@@ -125,7 +125,7 @@ def test_balibase_quality_close_to_host(bb):
     assert d_t.tc >= d_h.tc - 0.05
 
 
-@pytest.mark.parametrize("refine", [0, 3])
+@pytest.mark.parametrize("refine", [0, 1, 2, 3])
 def test_tpu_refine_modes_run(refine):
     m = kio.read_inputs([os.path.join(DATA, "BB12006.tfa")])
     m = E.align_msa(m, consistency_anchors=5, refine=refine, engine="tpu")
