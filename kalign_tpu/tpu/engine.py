@@ -49,8 +49,10 @@ def _match_matmul(counts, subrows):
     return jnp.dot(counts, subrows.T, preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("bt", "with_dec"))
-def _fused_forward(lhs, rhs, pc, pr, la, lb, bias_eps, bonus, bt, with_dec):
+@functools.partial(jax.jit, static_argnames=("bt", "rows_per_step",
+                                             "with_dec"))
+def _fused_forward(lhs, rhs, pc, pr, la, lb, bias_eps, bonus, bt,
+                   rows_per_step, with_dec):
     """Device-resident bucket step: batched MXU matmul -> centering bias
     -> optional consistency bonus -> Pallas forward.  Avoids any
     host round-trip of the [B, L1p, L2p] match matrices."""
@@ -67,6 +69,7 @@ def _fused_forward(lhs, rhs, pc, pr, la, lb, bias_eps, bonus, bt, with_dec):
     if bonus is not None:
         match = match + bonus
     return gotoh_forward_pallas(match, pc, pr, la, lb, bt=bt,
+                                rows_per_step=rows_per_step,
                                 with_dec=with_dec)
 
 
@@ -95,11 +98,14 @@ class TpuEngine:
     def _run_bucket(self, lhs, rhs, pc, pr, la, lb, eps, bonus):
         """Device-resident matmul + bias + bonus + forward + traceback."""
         B = lhs.shape[0]
+        feasible = True
         if self.use_pallas:
-            from kalign_tpu.tpu.gotoh_pallas import pick_bt
-            from kalign_tpu.tpu.traceback import traceback_batch
+            from kalign_tpu.tpu.gotoh_pallas import pick_plan
             Bp = _pow2_batch(B)
-            bt = min(pick_bt(Bp, rhs.shape[1]), Bp)
+            bt, R, feasible = pick_plan(Bp, rhs.shape[1])
+            bt = min(bt, Bp)
+        if self.use_pallas and feasible:
+            from kalign_tpu.tpu.traceback import traceback_batch
             if Bp != B:
                 pad = Bp - B
 
@@ -120,7 +126,7 @@ class TpuEngine:
                 jnp.asarray(pr), jnp.asarray(la), jnp.asarray(lb),
                 jnp.asarray(eps),
                 None if bonus is None else jnp.asarray(bonus),
-                bt, True)
+                bt, R, True)
             steps, nsteps = traceback_batch(
                 dec, jnp.asarray(la), jnp.asarray(lb), st,
                 lhs.shape[1] + rhs.shape[1] + 2)
@@ -129,7 +135,8 @@ class TpuEngine:
             score = np.asarray(score)
             return ([steps[b, :nsteps[b]] for b in range(B)],
                     score[:B].astype(np.float64))
-        # CPU path: materialize match host-side, reuse the XLA scan
+        # CPU backend / VMEM-infeasible widths: materialize match
+        # host-side, use the HBM-resident XLA scan
         match = np.einsum("blk,bmk->blm", lhs, rhs).astype(np.float32)
         for k in range(B):
             self._add_center_bias(match[k], int(la[k]), int(lb[k]),
@@ -141,11 +148,15 @@ class TpuEngine:
     def _forward_batch(self, match, pc, pr, la, lb):
         """match [B, L1p, L2p] etc (numpy).  Returns list of step arrays."""
         B = match.shape[0]
+        feasible = True
         if self.use_pallas:
-            from kalign_tpu.tpu.gotoh_pallas import gotoh_forward_pallas, pick_bt
-            from kalign_tpu.tpu.traceback import traceback_batch
+            from kalign_tpu.tpu.gotoh_pallas import pick_plan
             Bp = _pow2_batch(B)
-            bt = min(pick_bt(Bp, match.shape[2]), Bp)
+            bt, R, feasible = pick_plan(Bp, match.shape[2])
+            bt = min(bt, Bp)
+        if self.use_pallas and feasible:
+            from kalign_tpu.tpu.gotoh_pallas import gotoh_forward_pallas
+            from kalign_tpu.tpu.traceback import traceback_batch
             if Bp != B:
                 pad = Bp - B
                 match = np.concatenate([match, np.zeros((pad,) + match.shape[1:], match.dtype)])
@@ -155,7 +166,7 @@ class TpuEngine:
                 lb = np.concatenate([lb, np.full(pad, 8, np.int32)])
             dec, score, st = gotoh_forward_pallas(
                 jnp.asarray(match), jnp.asarray(pc), jnp.asarray(pr),
-                jnp.asarray(la), jnp.asarray(lb), bt=bt)
+                jnp.asarray(la), jnp.asarray(lb), bt=bt, rows_per_step=R)
             steps, nsteps = traceback_batch(
                 dec, jnp.asarray(la), jnp.asarray(lb), st,
                 match.shape[1] + match.shape[2] + 2)

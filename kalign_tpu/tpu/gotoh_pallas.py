@@ -50,19 +50,34 @@ DEC_GA_EXT = 4
 DEC_GB_EXT = 8
 
 
-def pick_bt(B: int, L2p: int, vmem_budget: int = 12 * 2**20) -> int:
-    """Largest power-of-two tile (<=128) whose VMEM working set fits.
+def _vmem_rows(R: int) -> float:
+    """f32-row-equivalents of width L2p held per problem: 3 state rows,
+    8 colpen rows, ga0, 2R double-buffered match rows in, 2R/4 int8 dec
+    rows out."""
+    return 12.0 + 2.5 * R
 
-    Per problem the kernel holds ~34 f32-row-equivalents of width L2p
-    (3 state rows, 8 colpen rows, ga0, double-buffered R=8 match rows
-    in and int8 dec rows out); bigger tiles amortise per-grid-step
-    overhead."""
-    bt = 128
-    while bt > 8 and bt * L2p * 4 * 34 > vmem_budget:
-        bt //= 2
-    while bt > B and bt > 8:
-        bt //= 2
-    return bt
+
+def pick_plan(B: int, L2p: int, vmem_budget: int = 12 * 2**20):
+    """Choose (bt, rows_per_step, feasible) for the Pallas kernel.
+
+    Prefers big tiles (amortise per-grid-step overhead) and R=8 row
+    unrolls; under VMEM pressure (very wide problems) shrinks the tile
+    first, then the unroll.  feasible=False means even (bt=8, R=1)
+    exceeds the budget — callers should use the HBM-resident XLA scan
+    implementation instead."""
+    for R in (8, 4, 2, 1):
+        bt = 128
+        while bt > 8 and bt * L2p * 4 * _vmem_rows(R) > vmem_budget:
+            bt //= 2
+        while bt > B and bt > 8:
+            bt //= 2
+        if bt * L2p * 4 * _vmem_rows(R) <= vmem_budget:
+            return bt, R, True
+    return 8, 1, False
+
+
+def pick_bt(B: int, L2p: int, vmem_budget: int = 12 * 2**20) -> int:
+    return pick_plan(B, L2p, vmem_budget)[0]
 
 
 def _cummax_axis1(x, n):
