@@ -95,8 +95,12 @@ class TpuEngine:
         return self.host.aln_pairwise_dist(rows)
 
     # ------------------------------------------------------------------
-    def _run_bucket(self, lhs, rhs, pc, pr, la, lb, eps, bonus):
-        """Device-resident matmul + bias + bonus + forward + traceback."""
+    def _dispatch_bucket(self, lhs, rhs, pc, pr, la, lb, eps, bonus):
+        """Launch matmul + bias + bonus + forward + packed traceback for
+        one bucket WITHOUT fetching results (async dispatch).  Returns a
+        handle for _collect_bucket.  Dispatching every bucket of a tree
+        level before collecting any overlaps device compute with the
+        (latency-bound) device->host result transfers."""
         B = lhs.shape[0]
         feasible = True
         if self.use_pallas:
@@ -105,7 +109,7 @@ class TpuEngine:
             bt, R, feasible = pick_plan(Bp, rhs.shape[1])
             bt = min(bt, Bp)
         if self.use_pallas and feasible:
-            from kalign_tpu.tpu.traceback import traceback_batch
+            from kalign_tpu.tpu.traceback import traceback_packed
             if Bp != B:
                 pad = Bp - B
 
@@ -127,23 +131,34 @@ class TpuEngine:
                 jnp.asarray(eps),
                 None if bonus is None else jnp.asarray(bonus),
                 bt, R, True)
-            steps, nsteps = traceback_batch(
-                dec, jnp.asarray(la), jnp.asarray(lb), st,
-                lhs.shape[1] + rhs.shape[1] + 2)
-            steps = np.asarray(steps)
-            nsteps = np.asarray(nsteps)
-            score = np.asarray(score)
-            return ([steps[b, :nsteps[b]] for b in range(B)],
-                    score[:B].astype(np.float64))
+            max_steps = lhs.shape[1] + rhs.shape[1] + 2
+            packed = traceback_packed(dec, jnp.asarray(la), jnp.asarray(lb),
+                                      st, score, max_steps)
+            return ("packed", packed, max_steps, B)
         # CPU backend / VMEM-infeasible widths: materialize match
-        # host-side, use the HBM-resident XLA scan
+        # host-side, use the HBM-resident XLA scan (synchronous)
         match = np.einsum("blk,bmk->blm", lhs, rhs).astype(np.float32)
         for k in range(B):
             self._add_center_bias(match[k], int(la[k]), int(lb[k]),
                                   float(eps[k]))
         if bonus is not None:
             match += bonus
-        return self._forward_batch(match, pc, pr, la, lb)
+        return ("done", self._forward_batch(match, pc, pr, la, lb))
+
+    def _collect_bucket(self, handle):
+        """Fetch + decode a _dispatch_bucket result (one transfer)."""
+        if handle[0] == "done":
+            return handle[1]
+        from kalign_tpu.tpu.traceback import unpack_traceback
+        _, packed, max_steps, B = handle
+        steps, nsteps, score = unpack_traceback(np.asarray(packed), max_steps)
+        return ([steps[b, :nsteps[b]] for b in range(B)],
+                score[:B].astype(np.float64))
+
+    def _run_bucket(self, lhs, rhs, pc, pr, la, lb, eps, bonus):
+        """Dispatch + collect one bucket (single-bucket callers)."""
+        return self._collect_bucket(
+            self._dispatch_bucket(lhs, rhs, pc, pr, la, lb, eps, bonus))
 
     def _forward_batch(self, match, pc, pr, la, lb):
         """match [B, L1p, L2p] etc (numpy).  Returns list of step arrays."""
@@ -291,6 +306,10 @@ class TpuEngine:
                        cand_for(task_index[c]))
                 buckets.setdefault(key, []).append(item)
 
+            # phase 1: assemble + dispatch every bucket of the level
+            # (async); phase 2 collects — device compute of later buckets
+            # overlaps the latency-bound result transfers of earlier ones
+            dispatched = []
             for (L1p, L2p, refine_candidates), items in buckets.items():
                 B = len(items)
                 K = len(refine_candidates)
@@ -322,23 +341,28 @@ class TpuEngine:
                 if K > 1:
                     lhs = np.tile(lhs, (K, 1, 1))
                     rhs = np.tile(rhs, (K, 1, 1))
-                    pc_k = np.tile(pc, (K, 1, 1))
-                    pr_k = np.tile(pr, (K, 1, 1))
-                    la_k = np.tile(la, K)
-                    lb_k = np.tile(lb, K)
-                    bonus_k = None if bonus is None else np.tile(bonus, (K, 1, 1))
+                    pc = np.tile(pc, (K, 1, 1))
+                    pr = np.tile(pr, (K, 1, 1))
+                    la = np.tile(la, K)
+                    lb = np.tile(lb, K)
+                    bonus = None if bonus is None else np.tile(bonus, (K, 1, 1))
                     eps = np.repeat(np.asarray(refine_candidates, np.float32), B)
-                    all_steps, all_scores = self._run_bucket(
-                        lhs, rhs, pc_k, pr_k, la_k, lb_k, eps, bonus_k)
+                else:
+                    eps = np.full(B, refine_candidates[0], np.float32)
+                handle = self._dispatch_bucket(lhs, rhs, pc, pr, la, lb,
+                                               eps, bonus)
+                dispatched.append((items, B, K, handle))
+
+            for items, B, K, handle in dispatched:
+                all_steps, all_scores = self._collect_bucket(handle)
+                if K > 1:
                     steps_list, scores, multi = self._select_candidates(
                         items, all_steps, all_scores, B, K, sip, nsip, gaps,
                         lens, ap)
                     for k, item in enumerate(items):
                         disagree[task_index[item[0]]] = multi[k]
                 else:
-                    eps = np.full(B, refine_candidates[0], np.float32)
-                    steps_list, scores = self._run_bucket(
-                        lhs, rhs, pc, pr, la, lb, eps, bonus)
+                    steps_list, scores = all_steps, all_scores
 
                 for k, (c, a, b, rn, cn, prof_r, prof_c, _, _) in enumerate(items):
                     steps_rc = np.asarray(steps_list[k], np.int8)

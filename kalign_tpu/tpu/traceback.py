@@ -104,3 +104,26 @@ def traceback_batch(dec, la, lb, end_state, max_steps):
 
     return jax.vmap(one)(dec, la.astype(jnp.int32), lb.astype(jnp.int32),
                          end_state.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("max_steps",))
+def traceback_packed(dec, la, lb, end_state, score, max_steps):
+    """traceback_batch + header packing: ONE int8 array
+    [B, max_steps + 8] whose row is [steps..., n(4B LE), score(4B f32)].
+    A single device->host transfer per launch matters on high-latency
+    links (dev tunnels); decode with unpack_traceback."""
+    steps, n = traceback_batch(dec, la, lb, end_state, max_steps)
+    score_bits = jax.lax.bitcast_convert_type(score.astype(jnp.float32),
+                                              jnp.int32)
+    hdr = jnp.stack([n.astype(jnp.int32), score_bits], axis=1)  # [B, 2] i32
+    hdr8 = jax.lax.bitcast_convert_type(hdr, jnp.int8)   # [B, 2, 4]
+    return jnp.concatenate([steps, hdr8.reshape(-1, 8)], axis=1)
+
+
+def unpack_traceback(packed: np.ndarray, max_steps: int):
+    """Host-side decode of traceback_packed's layout."""
+    steps = packed[:, :max_steps]
+    hdr = packed[:, max_steps:].copy()
+    n = hdr[:, :4].view(np.int32)[:, 0]
+    score = hdr[:, 4:].view(np.float32)[:, 0]
+    return steps, n, score
