@@ -117,9 +117,7 @@ def sharded_anchor_distances(mesh: Mesh, tokens: np.ndarray,
                 jnp.broadcast_to(a_row, (B, Lmax)),
                 jnp.broadcast_to(a_len, (B,)),
                 peq_seq, m_seq, max_steps)
-            d = jnp.where(lens > a_len, d1, d2).astype(jnp.float32)
-            s = ((lens + a_len) // 2).astype(jnp.float32)
-            return d + jnp.minimum(jnp.float32(10000.0), s) / 10000.0
+            return jnp.where(lens > a_len, d1, d2).astype(jnp.float32)
         return jax.vmap(one_anchor, in_axes=(0, 0, 0), out_axes=1)(
             a_full, a_lens, a_peq)
 
@@ -129,7 +127,13 @@ def sharded_anchor_distances(mesh: Mesh, tokens: np.ndarray,
                      jax.device_put(anchor_full, rep),
                      jax.device_put(anchor_pat, rep),
                      jax.device_put(anchor_lens, rep), max_steps)
-    return np.asarray(out)[:N]
+    dm = np.asarray(out)[:N]
+    # short-sequence preference bias, computed in double then narrowed
+    # exactly like the reference (sequence_distance.c:71-74): adding the
+    # identical f32 bias to the integer-valued distance is bit-exact
+    s = (np.asarray(lengths, np.int64)[:, None] + anchor_lens[None, :]) // 2
+    bias = (np.minimum(10000.0, s.astype(np.float64)) / 10000.0)
+    return dm + bias.astype(np.float32)
 
 
 # ---------------------------------------------------------------------------

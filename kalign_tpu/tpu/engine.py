@@ -81,9 +81,26 @@ class TpuEngine:
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas
 
-    # tree / distance stages delegate to the host kernels for now
     def anchor_distances(self, codes, anchors):
-        return self.host.anchor_distances(codes, anchors)
+        """N x K bit-parallel distances on device (tpu/bpm.py, bit-exact
+        with the reference's bpm_block + length bias); host layout
+        [N, ceil(K/8)*8] preserved for the native tree builder."""
+        if not self.use_pallas:
+            return self.host.anchor_distances(codes, anchors)
+        from kalign_tpu.parallel.mesh import make_mesh, \
+            sharded_anchor_distances
+        n = len(codes)
+        lens = np.array([len(c) for c in codes], np.int32)
+        Lmax = max(1, int(lens.max()))
+        tokens = np.zeros((n, Lmax), np.uint8)
+        for i, c in enumerate(codes):
+            tokens[i, :len(c)] = c
+        dm = sharded_anchor_distances(make_mesh(), tokens, lens,
+                                      list(anchors))
+        stride = ((len(anchors) + 7) // 8) * 8
+        out = np.zeros((n, stride), dtype=np.float32)
+        out[:, :len(anchors)] = dm
+        return out
 
     def build_tree(self, codes, dm, n_anchors):
         return self.host.build_tree(codes, dm, n_anchors)

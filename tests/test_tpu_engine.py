@@ -155,3 +155,21 @@ def test_tpu_invariants():
     assert len(set(len(r) for r in rows)) == 1
     for sq in m.sequences:
         assert sq.seq.replace("-", "") == originals[sq.name]
+
+
+def test_device_anchor_distances_bit_exact():
+    """Device BPM anchor distances must equal the native host kernel
+    bit-for-bit (same blocked-Myers semantics + length bias)."""
+    import numpy as np
+    from kalign_tpu.tpu.engine import TpuEngine
+
+    rng = np.random.default_rng(17)
+    codes = [np.asarray(rng.integers(0, 13, size=rng.integers(40, 700)),
+                        np.uint8) for _ in range(24)]
+    anchors = [0, 5, 11, 23]
+    eng = TpuEngine(use_pallas=True)   # force the device path (XLA on CPU)
+    d_dev = eng.anchor_distances(codes, anchors)
+    d_host = eng.host.anchor_distances(codes, anchors)
+    assert d_dev.shape == d_host.shape
+    assert np.array_equal(d_dev, d_host), \
+        np.argwhere(d_dev != d_host)[:5]
