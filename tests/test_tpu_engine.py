@@ -133,18 +133,21 @@ def test_tpu_refine_modes_run(refine):
     assert len(set(len(r) for r in rows)) == 1
 
 
-def test_tpu_default_mode_quality():
-    """Default mode (consistency on): TPU engine tracks host quality."""
-    gr, gn = _gold(os.path.join(DATA, "BB12006.msf"))
-    m_h = kio.read_inputs([os.path.join(DATA, "BB12006.tfa")])
+@pytest.mark.parametrize("bb", ["BB12006", "BB30014"])
+def test_tpu_default_mode_quality(bb):
+    """Default mode (consistency on): TPU engine tracks host quality,
+    including TC on the divergent RV30 family (map-centering bias)."""
+    gr, gn = _gold(os.path.join(DATA, f"{bb}.msf"))
+    m_h = kio.read_inputs([os.path.join(DATA, f"{bb}.tfa")])
     m_h = E.align_msa(m_h, consistency_anchors=5)
-    m_t = kio.read_inputs([os.path.join(DATA, "BB12006.tfa")])
+    m_t = kio.read_inputs([os.path.join(DATA, f"{bb}.tfa")])
     m_t = E.align_msa(m_t, consistency_anchors=5, engine="tpu")
     d_h = msa_compare_detailed(gr, m_h.aligned_rows(), gn,
                                [s.name for s in m_h.sequences], 0.2)
     d_t = msa_compare_detailed(gr, m_t.aligned_rows(), gn,
                                [s.name for s in m_t.sequences], 0.2)
     assert d_t.recall >= d_h.recall - 0.03
+    assert d_t.tc >= d_h.tc - 0.03
 
 
 def test_tpu_invariants():
