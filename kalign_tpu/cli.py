@@ -76,7 +76,7 @@ def build_parser():
     p.add_argument("-q", "--quiet", action="store_true")
     p.add_argument("-v", "-V", "--version", action="store_true", dest="version")
     p.add_argument("--engine", default=os.environ.get("KALIGN_TPU_ENGINE", "host"),
-                   choices=["host", "tpu"])
+                   choices=["host", "tpu", "tpu-mesh"])
     p.add_argument("files", nargs="*")
     return p
 

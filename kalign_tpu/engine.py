@@ -119,12 +119,21 @@ class HostEngine:
         return dm.reshape(n, n)
 
 
-def get_engine(name: str = "host", n_threads: int = 1):
+def get_engine(name: str = "host", n_threads: int = 1, mesh=None):
+    """'host' = native C++ core; 'tpu' = device engine; 'tpu-mesh' =
+    device engine with merge buckets sharded over ALL visible devices
+    (jax.sharding.Mesh; pass mesh= to control the layout)."""
     if name == "host":
         return HostEngine(n_threads=n_threads)
     if name == "tpu":
         from kalign_tpu.tpu.engine import TpuEngine
-        return TpuEngine(n_threads=n_threads)
+        return TpuEngine(n_threads=n_threads, mesh=mesh)
+    if name == "tpu-mesh":
+        from kalign_tpu.tpu.engine import TpuEngine
+        if mesh is None:
+            from kalign_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh()
+        return TpuEngine(n_threads=n_threads, mesh=mesh)
     raise ValueError(f"unknown engine {name!r}")
 
 

@@ -156,3 +156,62 @@ def batched_gotoh(mesh: Mesh, match, pens_cols, pens_rows, la, lb):
     lb_d = jax.device_put(lb, bsh)
     dec, score, end_state = run(args[0], args[1], args[2], la_d, lb_d)
     return np.asarray(dec), np.asarray(score), np.asarray(end_state)
+
+
+def sharded_bucket_step(mesh: Mesh, lhs, rhs, pc, pr, la, lb, eps,
+                        bonus=None):
+    """One progressive-merge bucket (matmul + centering bias + optional
+    consistency bonus + Gotoh forward + packed traceback), with the
+    MERGE BATCH AXIS sharded over every device of the mesh — the
+    tree-level merge-parallel axis of SURVEY §2.2.  Each shard runs the
+    full fused step on its local problems (no cross-problem
+    communication exists in this stage); results gather to host.
+
+    Inputs are numpy, batch padded to a multiple of mesh.devices.size by
+    the caller.  Returns (steps list, scores) like TpuEngine buckets."""
+    from jax import shard_map
+    from kalign_tpu.tpu.traceback import traceback_packed, unpack_traceback
+
+    B = lhs.shape[0]
+    n_dev = mesh.devices.size
+    assert B % n_dev == 0, (B, n_dev)
+    axes = ("data", "model")
+    bsh = NamedSharding(mesh, P(axes))
+    max_steps = lhs.shape[1] + rhs.shape[1] + 2
+
+    has_bonus = bonus is not None
+
+    def local(lhs, rhs, pc, pr, la, lb, eps, *rest):
+        match = jax.lax.dot_general(
+            lhs, rhs, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        Bl, L1p, L2p = match.shape
+        ii = jnp.arange(1, L1p + 1, dtype=jnp.float32)[None, :, None]
+        jj = jnp.arange(1, L2p + 1, dtype=jnp.float32)[None, None, :]
+        slope = lb.astype(jnp.float32) / jnp.maximum(
+            la.astype(jnp.float32), 1.0)
+        dev = jnp.abs(jj - ii * slope[:, None, None])
+        match = match - dev * eps[:, None, None]
+        if rest:
+            match = match + rest[0]
+        dec, score, st = jax.vmap(
+            lambda m, c, r, a, b: gotoh.gotoh_forward(
+                m, c[0], c[1], c[2], r[0], r[1], r[2], a, b)
+        )(match, pc, pr, la, lb)
+        # XLA-scan dec layout is [L1p+1, L2p+1] int8 with DP coords;
+        # convert to the packed-kernel layout (row r+1 / col c+1)
+        dec_k = dec[:, 1:, 1:]
+        return traceback_packed(dec_k, la, lb, st, score, max_steps)
+
+    n_in = 8 if has_bonus else 7
+    run = jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=tuple(P(axes) for _ in range(n_in)),
+        out_specs=P(axes)))
+
+    inputs = [lhs, rhs, pc, pr, la, lb, eps] + ([bonus] if has_bonus else [])
+    args = [jax.device_put(np.asarray(x), bsh) for x in inputs]
+    packed = np.asarray(run(*args))
+    steps, nsteps, score = unpack_traceback(packed, max_steps)
+    return ([steps[b, :nsteps[b]] for b in range(B)],
+            score.astype(np.float64))

@@ -74,12 +74,18 @@ def _fused_forward(lhs, rhs, pc, pr, la, lb, bias_eps, bonus, bt,
 
 
 class TpuEngine:
-    def __init__(self, n_threads: int = 1, use_pallas: Optional[bool] = None):
+    def __init__(self, n_threads: int = 1, use_pallas: Optional[bool] = None,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh.  With more than one device,
+        merge buckets shard their batch axis over the whole mesh
+        (SURVEY §2.2 tree-level merge parallelism) via
+        parallel.mesh.sharded_bucket_step."""
         self.host = HostEngine(n_threads=n_threads)
         self.n_threads = n_threads
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas
+        self.mesh = mesh
 
     def anchor_distances(self, codes, anchors):
         """N x K bit-parallel distances on device (tpu/bpm.py, bit-exact
@@ -119,6 +125,27 @@ class TpuEngine:
         level before collecting any overlaps device compute with the
         (latency-bound) device->host result transfers."""
         B = lhs.shape[0]
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            from kalign_tpu.parallel.mesh import sharded_bucket_step
+            n_dev = self.mesh.devices.size
+            Bp = max(_pow2_batch(B), n_dev)
+            Bp = ((Bp + n_dev - 1) // n_dev) * n_dev  # non-pow2 meshes
+            if Bp != B:
+                pad = Bp - B
+
+                def padn(x, fill=0):
+                    return np.concatenate(
+                        [x, np.full((pad,) + x.shape[1:], fill, x.dtype)])
+                lhs, rhs, eps = padn(lhs), padn(rhs), padn(eps)
+                pc = np.concatenate([pc, np.tile(pc[-1:], (pad, 1, 1))])
+                pr = np.concatenate([pr, np.tile(pr[-1:], (pad, 1, 1))])
+                la = np.concatenate([la, np.full(pad, 8, np.int32)])
+                lb = np.concatenate([lb, np.full(pad, 8, np.int32)])
+                if bonus is not None:
+                    bonus = padn(bonus)
+            steps, scores = sharded_bucket_step(
+                self.mesh, lhs, rhs, pc, pr, la, lb, eps, bonus)
+            return ("done", (steps[:B], scores[:B]))
         feasible = True
         if self.use_pallas:
             from kalign_tpu.tpu.gotoh_pallas import pick_plan

@@ -78,8 +78,10 @@ def gotoh_forward(match, goB, geB, tgeB, goA, geA, tgeA, la, lb,
         csum = jnp.cumsum(jnp.where(cols == 0, 0.0, tgeB))
         GA0 = jnp.where(cols >= 1, csum, NEG)
         GA0 = jnp.where(col_valid, GA0, NEG)
-        A0 = jnp.where(cols == 0, 0.0, NEG).astype(jnp.float32)
-        GB0 = jnp.full(L2p + 1, NEG)
+        # + 0*tgeB ties the constant rows to the inputs so the scan
+        # carry has consistent varying-axes under shard_map
+        A0 = jnp.where(cols == 0, 0.0, NEG).astype(jnp.float32) + 0.0 * tgeB
+        GB0 = jnp.full(L2p + 1, NEG) + 0.0 * tgeB
         return A0, GA0, GB0
 
     A0, GA0, GB0 = make_row0()

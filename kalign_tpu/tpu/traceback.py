@@ -36,7 +36,10 @@ def traceback_batch(dec, la, lb, end_state, max_steps):
     order, padded with 3, and n_steps [B]."""
 
     def one(dec_b, la_b, lb_b, st_b):
-        steps = jnp.full((max_steps,), STEP_PAD, jnp.int8)
+        # + 0*la_b ties the constant carries to the inputs so the
+        # while_loop carry has consistent varying-axes under shard_map
+        zero = (la_b * 0).astype(jnp.int32)
+        steps = jnp.full((max_steps,), STEP_PAD, jnp.int8) + zero.astype(jnp.int8)
 
         def substep(c):
             i, j, st, n, steps = c
@@ -95,7 +98,7 @@ def traceback_batch(dec, la, lb, end_state, max_steps):
         out = jax.lax.while_loop(
             cond, body,
             (la_b.astype(jnp.int32), lb_b.astype(jnp.int32),
-             st_b.astype(jnp.int32), jnp.int32(0), steps))
+             st_b.astype(jnp.int32), zero, steps))
         _, _, _, n, steps = out
         # reverse the first n entries into forward order
         idx = jnp.arange(max_steps)
