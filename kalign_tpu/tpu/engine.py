@@ -87,6 +87,15 @@ class TpuEngine:
         self.use_pallas = use_pallas
         self.mesh = mesh
 
+    def _pad_to_launch(self, B: int) -> int:
+        """Launch batch size: power of two (bounded compile cache) and a
+        multiple of the mesh device count when sharding."""
+        Bp = _pow2_batch(B)
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            n_dev = self.mesh.devices.size
+            Bp = ((max(Bp, n_dev) + n_dev - 1) // n_dev) * n_dev
+        return Bp
+
     def anchor_distances(self, codes, anchors):
         """N x K bit-parallel distances on device (tpu/bpm.py, bit-exact
         with the reference's bpm_block + length bias); host layout
@@ -357,13 +366,17 @@ class TpuEngine:
             for (L1p, L2p, refine_candidates), items in buckets.items():
                 B = len(items)
                 K = len(refine_candidates)
-                pc = np.zeros((B, 3, L2p + 1), np.float32)
-                pr = np.zeros((B, 3, L1p + 1), np.float32)
-                la = np.zeros(B, np.int32)
-                lb = np.zeros(B, np.int32)
-                lhs = np.zeros((B, L1p, 23), np.float32)
-                rhs = np.zeros((B, L2p, 23), np.float32)
-                bonus = np.zeros((B, L1p, L2p), np.float32) if ct is not None                     else None
+                # single-candidate buckets assemble directly at launch
+                # size (no padding copies in dispatch); multi-candidate
+                # buckets get tiled+padded there
+                Ba = self._pad_to_launch(B) if K == 1 else B
+                pc = np.zeros((Ba, 3, L2p + 1), np.float32)
+                pr = np.zeros((Ba, 3, L1p + 1), np.float32)
+                la = np.full(Ba, 8, np.int32)
+                lb = np.full(Ba, 8, np.int32)
+                lhs = np.zeros((Ba, L1p, 23), np.float32)
+                rhs = np.zeros((Ba, L2p, 23), np.float32)
+                bonus = np.zeros((Ba, L1p, L2p), np.float32) if ct is not None                     else None
                 for k, (c, a, b, rn, cn, prof_r, prof_c, cif, _) in enumerate(items):
                     la[k] = prof_r.length
                     lb[k] = prof_c.length
@@ -392,7 +405,7 @@ class TpuEngine:
                     bonus = None if bonus is None else np.tile(bonus, (K, 1, 1))
                     eps = np.repeat(np.asarray(refine_candidates, np.float32), B)
                 else:
-                    eps = np.full(B, refine_candidates[0], np.float32)
+                    eps = np.full(Ba, refine_candidates[0], np.float32)
                 handle = self._dispatch_bucket(lhs, rhs, pc, pr, la, lb,
                                                eps, bonus)
                 dispatched.append((items, B, K, handle))

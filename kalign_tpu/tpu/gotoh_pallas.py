@@ -94,9 +94,10 @@ def _cummax_axis1(x, n):
 def _kernel(lab_ref, match_ref, rowpen_ref, colpen_ref, ga0_ref,
             dec_ref, score_ref, state_ref,
             S_ref, *, L2p, L1p, R, with_dec):
-    """colpen_ref packs row-invariant column-side vectors [BT, 8, L2p]
+    """colpen_ref packs row-invariant column-side vectors [BT, 10, L2p]
     for DP columns 1..L2p: 0 goB, 1 geB, 2 tgeB, 3 C_norm, 4 C_term,
-    5 goB_next, 6 tgeB_next, 7 unused.  rowpen_ref streams per-row
+    5 goB_next, 6 tgeB_next, 7 goB_shifted (goB[j-1], 0 at col 1),
+    8 C_norm_next, 9 C_term_next.  rowpen_ref streams per-row
     scalars [R, BT, 8]: goA_i, geA_i, tgeA_i, goA_prev, gb0_prev.
 
     Each grid step advances R DP rows (unrolled): the state rows live in
@@ -121,6 +122,9 @@ def _kernel(lab_ref, match_ref, rowpen_ref, colpen_ref, ga0_ref,
     C_term = colpen_ref[:, 4, :]
     goB_next = colpen_ref[:, 5, :]
     tgeB_next = colpen_ref[:, 6, :]
+    goB_s = colpen_ref[:, 7, :]
+    C_norm_next = colpen_ref[:, 8, :]
+    C_term_next = colpen_ref[:, 9, :]
 
     @pl.when(i == 0)
     def _init():
@@ -151,12 +155,11 @@ def _kernel(lab_ref, match_ref, rowpen_ref, colpen_ref, ga0_ref,
             a0_prev = jnp.where(i == 0, 0.0, NEG)   # A[row-1, 0]
         else:
             a0_prev = NEG
-        stacked = jnp.stack([A_prev, GA_prev, GB_prev, goB], axis=0)
+        stacked = jnp.stack([A_prev, GA_prev, GB_prev], axis=0)
         shifted = pltpu.roll(stacked, 1, axis=2)
         A_prev_s = jnp.where(idx0, a0_prev, shifted[0])
         GA_prev_s = jnp.where(idx0, NEG, shifted[1])
         GB_prev_s = jnp.where(idx0, gb0_prev, shifted[2])
-        goB_s = jnp.where(idx0, 0.0, shifted[3])
 
         # --- A row ---
         diagA = A_prev_s
@@ -183,7 +186,7 @@ def _kernel(lab_ref, match_ref, rowpen_ref, colpen_ref, ga0_ref,
         go_row = jnp.where(is_last_row, tgeB, goB)
         C = jnp.where(is_last_row, C_term, C_norm)
         go_next = jnp.where(is_last_row, tgeB_next, goB_next)
-        C_next = pltpu.roll(C, W - 1, axis=1)
+        C_next = jnp.where(is_last_row, C_term_next, C_norm_next)
         u = A_row + go_next - C_next
         u = jnp.where(cols < lb, u, NEG)  # only k < lb can open
         cm = _cummax_axis1(u, W)
@@ -253,9 +256,13 @@ def gotoh_forward_pallas(match, pens_cols, pens_rows, la, lb, bt=8,
     cols = jnp.arange(1, W + 1)[None, :]
     col_valid = cols <= lb[:, None]
     ga0 = jnp.where(col_valid, C_term, NEG).astype(jnp.float32)
+    goB_s = jnp.concatenate([pad1, goB[:, :W - 1]], axis=1)  # goB[j-1]
+    C_norm_next = jnp.concatenate([C_norm[:, 1:], pad1], axis=1)
+    C_term_next = jnp.concatenate([C_term[:, 1:], pad1], axis=1)
 
     colpen = jnp.stack([goB, geB, tgeB, C_norm, C_term, goB_next, tgeB_next,
-                        jnp.zeros_like(goB)], axis=1)  # [B, 8, W]
+                        goB_s, C_norm_next, C_term_next],
+                       axis=1)  # [B, 10, W]
 
     # per-row scalar stream [B, L1p, 8]:
     # goA_i, geA_i, tgeA_i, goA_prev, gb0_prev (= GB[row-1, 0])
@@ -287,7 +294,7 @@ def gotoh_forward_pallas(match, pens_cols, pens_rows, la, lb, bt=8,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R, bt, 8), lambda b, i: (i, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, 8, W), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((bt, 10, W), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, W), lambda b, i: (b, 0),
                          memory_space=pltpu.VMEM),
