@@ -77,6 +77,10 @@ def build_parser():
     p.add_argument("-v", "-V", "--version", action="store_true", dest="version")
     p.add_argument("--engine", default=os.environ.get("KALIGN_TPU_ENGINE", "host"),
                    choices=["host", "tpu", "tpu-mesh"])
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace of the "
+                        "alignment into DIR (open with TensorBoard / "
+                        "xprof)")
     p.add_argument("files", nargs="*")
     return p
 
@@ -113,6 +117,13 @@ def main(argv=None):
 
     msa = kio.read_inputs(infiles)
     msa.quiet = args.quiet
+
+    trace_ctx = None
+    if args.trace:
+        import contextlib
+        import jax
+        trace_ctx = contextlib.ExitStack()
+        trace_ctx.enter_context(jax.profiler.trace(args.trace))
 
     if args.load_poar:
         from kalign_tpu.ensemble import consensus_from_poar
@@ -170,6 +181,10 @@ def main(argv=None):
                           consistency_weight=args.consistency_weight,
                           engine=args.engine)
 
+    if trace_ctx is not None:
+        trace_ctx.close()
+        if not args.quiet:
+            print(f"device trace written to {args.trace}", file=sys.stderr)
     kio.write_alignment_file(msa, args.outfile, args.format)
     return 0
 

@@ -65,6 +65,56 @@ def pad_rows(a: np.ndarray, to: int, fill=0) -> np.ndarray:
 # sharded distance matrix
 # ---------------------------------------------------------------------------
 
+def pallas_anchor_distances(tokens: np.ndarray, lengths: np.ndarray,
+                            anchors: Sequence[int], bt: int = 2048,
+                            chunk: int = 8192) -> np.ndarray:
+    """Single-device fast path: all N*K (sequence, anchor) pairs flow
+    through the Pallas bit-parallel kernel (tpu/bpm_pallas.py) in
+    chunks, with the longer-side-is-text orientation resolved HOST-side
+    per pair (sequence_distance.c:153-162) so each pair runs one sweep.
+    Returns raw integer distances [N, K] (no length bias)."""
+    from kalign_tpu.tpu.bpm_pallas import bpm_batch_pallas
+
+    N, Lmax = tokens.shape
+    K = len(anchors)
+    anchors = np.asarray(anchors, np.int32)
+    lengths = np.asarray(lengths, np.int32)
+    a_lens = lengths[anchors]
+
+    # per-pair orientation
+    seq_idx = np.repeat(np.arange(N, dtype=np.int32), K)
+    anc_idx = np.tile(np.arange(K, dtype=np.int32), N)
+    li = lengths[seq_idx]
+    lk = a_lens[anc_idx]
+    seq_is_text = li > lk
+
+    text_src = np.where(seq_is_text, seq_idx, anchors[anc_idx])
+    pat_src = np.where(seq_is_text, anchors[anc_idx], seq_idx)
+    tlen = np.where(seq_is_text, li, lk)
+    plen = np.minimum(np.where(seq_is_text, lk, li), bpm.MAX_PATTERN)
+
+    pat_w = min(bpm.MAX_PATTERN, Lmax)
+    max_steps = int(Lmax + bpm.WORD)
+    out = np.zeros(N * K, np.int32)
+    for lo in range(0, N * K, chunk):
+        hi = min(lo + chunk, N * K)
+        Bc = hi - lo
+        Bp = ((Bc + bt - 1) // bt) * bt
+        texts = np.zeros((Bp, Lmax), np.uint8)
+        texts[:Bc] = tokens[text_src[lo:hi]]
+        pats = np.zeros((Bp, bpm.MAX_PATTERN), np.uint8)
+        pats[:Bc, :pat_w] = tokens[pat_src[lo:hi], :pat_w]
+        n = np.full(Bp, 1, np.int32)
+        n[:Bc] = tlen[lo:hi]
+        m = np.full(Bp, 1, np.int32)
+        m[:Bc] = plen[lo:hi]
+        peq = bpm.build_peq(jnp.asarray(pats), jnp.asarray(m))
+        d = bpm_batch_pallas(jnp.asarray(texts), jnp.asarray(n), peq,
+                             jnp.asarray(m), max_steps, bt=bt)
+        out[lo:hi] = np.asarray(d)[:Bc]
+    return out.reshape(N, K)
+
+
 def sharded_anchor_distances(mesh: Mesh, tokens: np.ndarray,
                              lengths: np.ndarray,
                              anchors: Sequence[int]) -> np.ndarray:
@@ -73,10 +123,22 @@ def sharded_anchor_distances(mesh: Mesh, tokens: np.ndarray,
     tokens [N, Lmax] uint8 (reduced alphabet), lengths [N].
     Rows shard over data x model (flattened); result gathered to host.
     Matches the reference distances bit-for-bit (same blocked Myers
-    semantics + length-preference bias)."""
+    semantics + length-preference bias).
+
+    On a single TPU device the Pallas kernel path is used; multi-device
+    meshes (and CPU test backends) run the XLA implementation sharded
+    over the mesh."""
     N, Lmax = tokens.shape
     K = len(anchors)
     n_dev = mesh.devices.size
+
+    if n_dev == 1 and jax.default_backend() == "tpu":
+        dm = pallas_anchor_distances(tokens, lengths, anchors)
+        a_lens_b = np.asarray(lengths)[np.asarray(anchors, np.int32)]
+        s = (np.asarray(lengths, np.int64)[:, None] + a_lens_b[None, :]) // 2
+        bias = (np.minimum(10000.0, s.astype(np.float64)) / 10000.0)
+        return dm.astype(np.float32) + bias.astype(np.float32)
+
     Np = ((N + n_dev - 1) // n_dev) * n_dev
 
     tokens_p = pad_rows(tokens, Np)
