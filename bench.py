@@ -23,7 +23,7 @@ import numpy as np
 KALIGN_CPU_1CORE_GCUPS = 0.18
 
 
-def bench_gotoh(batch=256, L=256, bt=128, iters=64):
+def bench_gotoh(batch=256, L=256, bt=256, iters=64):
     """Batched Pallas Gotoh forward (the progressive aligner's hot loop).
 
     The iterations are CHAINED inside one jit (each launch consumes the

@@ -53,24 +53,21 @@ def _match_matmul(counts, subrows):
                                              "with_dec"))
 def _fused_forward(lhs, rhs, pc, pr, la, lb, bias_eps, bonus, bt,
                    rows_per_step, with_dec):
-    """Device-resident bucket step: batched MXU matmul -> centering bias
-    -> optional consistency bonus -> Pallas forward.  Avoids any
-    host round-trip of the [B, L1p, L2p] match matrices."""
+    """Device-resident bucket step: batched MXU matmul -> optional
+    consistency bonus -> Pallas forward with the centering bias fused
+    into the kernel's match-row read (saves a full elementwise pass
+    over the [B, L1p, L2p] match array)."""
     from kalign_tpu.tpu.gotoh_pallas import gotoh_forward_pallas
     match = jax.lax.dot_general(
         lhs, rhs, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)          # [B, L1p, L2p]
-    B, L1p, L2p = match.shape
-    ii = jnp.arange(1, L1p + 1, dtype=jnp.float32)[None, :, None]
-    jj = jnp.arange(1, L2p + 1, dtype=jnp.float32)[None, None, :]
     slope = lb.astype(jnp.float32) / jnp.maximum(la.astype(jnp.float32), 1.0)
-    dev = jnp.abs(jj - ii * slope[:, None, None])
-    match = match - dev * bias_eps[:, None, None]
     if bonus is not None:
         match = match + bonus
     return gotoh_forward_pallas(match, pc, pr, la, lb, bt=bt,
                                 rows_per_step=rows_per_step,
-                                with_dec=with_dec)
+                                with_dec=with_dec,
+                                slope=slope, bias_eps=bias_eps)
 
 
 class TpuEngine:

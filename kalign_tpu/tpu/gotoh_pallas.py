@@ -66,7 +66,7 @@ def pick_plan(B: int, L2p: int, vmem_budget: int = 12 * 2**20):
     exceeds the budget — callers should use the HBM-resident XLA scan
     implementation instead."""
     for R in (8, 4, 2, 1):
-        bt = 128
+        bt = 256
         while bt > 8 and bt * L2p * 4 * _vmem_rows(R) > vmem_budget:
             bt //= 2
         while bt > B and bt > 8:
@@ -91,10 +91,10 @@ def _cummax_axis1(x, n):
     return x
 
 
-def _kernel(lab_ref, match_ref, rowpen_ref, colpen_ref, ga0_ref,
+def _kernel(lab_ref, bias_ref, match_ref, rowpen_ref, colpen_ref, ga0_ref,
             dec_ref, score_ref, state_ref,
             S_ref, *, L2p, L1p, R, with_dec):
-    """colpen_ref packs row-invariant column-side vectors [BT, 10, L2p]
+    """colpen_ref packs row-invariant column-side vectors [10, BT, L2p]
     for DP columns 1..L2p: 0 goB, 1 geB, 2 tgeB, 3 C_norm, 4 C_term,
     5 goB_next, 6 tgeB_next, 7 goB_shifted (goB[j-1], 0 at col 1),
     8 C_norm_next, 9 C_term_next.  rowpen_ref streams per-row
@@ -109,22 +109,25 @@ def _kernel(lab_ref, match_ref, rowpen_ref, colpen_ref, ga0_ref,
 
     la = lab_ref[:, 0:1]
     lb = lab_ref[:, 1:2]
+    slope = bias_ref[:, 0:1]            # centering bias: lb / max(la, 1)
+    bias_eps = bias_ref[:, 1:2]
     idx = jax.lax.broadcasted_iota(jnp.int32, (BT, W), 1)
     cols = idx + 1                      # actual DP column numbers 1..L2p
+    colsf = cols.astype(jnp.float32)
     col_valid = cols <= lb
     idx0 = idx == 0                     # DP column 1 (shift-in boundary)
     is_term_col = cols == lb
 
-    goB = colpen_ref[:, 0, :]
-    geB = colpen_ref[:, 1, :]
-    tgeB = colpen_ref[:, 2, :]
-    C_norm = colpen_ref[:, 3, :]
-    C_term = colpen_ref[:, 4, :]
-    goB_next = colpen_ref[:, 5, :]
-    tgeB_next = colpen_ref[:, 6, :]
-    goB_s = colpen_ref[:, 7, :]
-    C_norm_next = colpen_ref[:, 8, :]
-    C_term_next = colpen_ref[:, 9, :]
+    goB = colpen_ref[0]
+    geB = colpen_ref[1]
+    tgeB = colpen_ref[2]
+    C_norm = colpen_ref[3]
+    C_term = colpen_ref[4]
+    goB_next = colpen_ref[5]
+    tgeB_next = colpen_ref[6]
+    goB_s = colpen_ref[7]
+    C_norm_next = colpen_ref[8]
+    C_term_next = colpen_ref[9]
 
     @pl.when(i == 0)
     def _init():
@@ -147,7 +150,13 @@ def _kernel(lab_ref, match_ref, rowpen_ref, colpen_ref, ga0_ref,
         goA_prev = rowpen_ref[r, :, 3:4]
         gb0_prev = rowpen_ref[r, :, 4:5]  # GB[row-1, 0] (terminal col 0)
 
+        # match row + fused centering bias (the flat-DP analogue of the
+        # reference's Hirschberg midpoint preference; saves the producer
+        # a full elementwise pass over the [B, L1p, L2p] match array)
         m_row = match_ref[r]  # [BT, L2p]; m_row[:, j-1] scores DP col j
+        rowf = jax.lax.convert_element_type(row, jnp.float32)
+        dev = jnp.abs(colsf - rowf * slope)
+        m_row = m_row - dev * bias_eps
 
         # one stacked roll produces every j-1 view of the previous row;
         # position 0 (DP col 1) receives the analytic column-0 boundary
@@ -229,9 +238,12 @@ def _kernel(lab_ref, match_ref, rowpen_ref, colpen_ref, ga0_ref,
                    static_argnames=("bt", "rows_per_step", "interpret",
                                     "with_dec"))
 def gotoh_forward_pallas(match, pens_cols, pens_rows, la, lb, bt=8,
-                         rows_per_step=8, interpret=False, with_dec=True):
+                         rows_per_step=8, interpret=False, with_dec=True,
+                         slope=None, bias_eps=None):
     """match [B, L1p, L2p] f32; pens_cols [B, 3, L2p+1];
     pens_rows [B, 3, L1p+1]; la, lb [B] int32.
+    slope/bias_eps [B] f32 (optional): fused centering bias
+    match[i,j] -= |(j+1) - (i+1)*slope| * bias_eps applied in-kernel.
     Returns dec [B, L1p, L2p] int8 (row r = DP row r+1, col c = DP
     column c+1), score [B], end_state [B]."""
     B, L1p, L2p = match.shape
@@ -241,6 +253,12 @@ def gotoh_forward_pallas(match, pens_cols, pens_rows, la, lb, bt=8,
         R //= 2
     W = L2p
     lab = jnp.stack([la, lb], axis=1).astype(jnp.int32)
+    if slope is None:
+        slope = jnp.zeros(B, jnp.float32)
+    if bias_eps is None:
+        bias_eps = jnp.zeros(B, jnp.float32)
+    biasv = jnp.stack([slope.astype(jnp.float32),
+                       bias_eps.astype(jnp.float32)], axis=1)  # [B, 2]
 
     # column-side vectors for DP cols 1..L2p (lane-aligned width L2p)
     goB = pens_cols[:, 0, 1:]
@@ -260,9 +278,12 @@ def gotoh_forward_pallas(match, pens_cols, pens_rows, la, lb, bt=8,
     C_norm_next = jnp.concatenate([C_norm[:, 1:], pad1], axis=1)
     C_term_next = jnp.concatenate([C_term[:, 1:], pad1], axis=1)
 
+    # slot-major [10, B, W]: stacking along axis 0 writes each slot
+    # contiguously (a [B, 10, W] stack interleaves and costs a strided
+    # pass over the whole array)
     colpen = jnp.stack([goB, geB, tgeB, C_norm, C_term, goB_next, tgeB_next,
                         goB_s, C_norm_next, C_term_next],
-                       axis=1)  # [B, 10, W]
+                       axis=0)  # [10, B, W]
 
     # per-row scalar stream [B, L1p, 8]:
     # goA_i, geA_i, tgeA_i, goA_prev, gb0_prev (= GB[row-1, 0])
@@ -272,11 +293,10 @@ def gotoh_forward_pallas(match, pens_cols, pens_rows, la, lb, bt=8,
     cum_tgeA = jnp.cumsum(tgeA[:, 1:], axis=1)       # [B, L1p]; col r-1 = GB[r,0]
     gb0 = jnp.concatenate(
         [jnp.full((B, 1), NEG, jnp.float32), cum_tgeA[:, :L1p - 1]], axis=1)
-    zeros = jnp.zeros((B, L1p), jnp.float32)
-    rowpen = jnp.stack([goA[:, 1:], geA[:, 1:], tgeA[:, 1:], goA[:, :L1p],
-                        gb0, zeros, zeros, zeros],
-                       axis=2).astype(jnp.float32)   # [B, L1p, 8]
-    rowpen = jnp.transpose(rowpen, (1, 0, 2))        # stream rows first
+    zeros = jnp.zeros((L1p, B), jnp.float32)
+    rowpen = jnp.stack([goA[:, 1:].T, geA[:, 1:].T, tgeA[:, 1:].T,
+                        goA[:, :L1p].T, gb0.T, zeros, zeros, zeros],
+                       axis=2).astype(jnp.float32)   # [L1p, B, 8]
     match_t = jnp.transpose(match, (1, 0, 2))
 
     grid = (B // bt, L1p // R)
@@ -290,11 +310,13 @@ def gotoh_forward_pallas(match, pens_cols, pens_rows, la, lb, bt=8,
         in_specs=[
             pl.BlockSpec((bt, 2), lambda b, i: (b, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 2), lambda b, i: (b, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((R, bt, L2p), lambda b, i: (i, b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R, bt, 8), lambda b, i: (i, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, 10, W), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((10, bt, W), lambda b, i: (0, b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, W), lambda b, i: (b, 0),
                          memory_space=pltpu.VMEM),
@@ -315,7 +337,7 @@ def gotoh_forward_pallas(match, pens_cols, pens_rows, la, lb, bt=8,
             pltpu.VMEM((3, bt, W), jnp.float32),
         ],
         interpret=interpret,
-    )(lab, match_t, rowpen, colpen, ga0)
+    )(lab, biasv, match_t, rowpen, colpen, ga0)
     score = score[:, 0]
     state = state[:, 0]
     # degenerate lb == 0: the whole path is a terminal column-0 gap run;
