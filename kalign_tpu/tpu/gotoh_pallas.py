@@ -81,7 +81,10 @@ def pick_bt(B: int, L2p: int, vmem_budget: int = 12 * 2**20) -> int:
 
 
 def _cummax_axis1(x, n):
-    """In-row prefix max via log-step masked rolls."""
+    """In-row prefix max via log-step masked rolls.
+
+    (A [BT, W/128, 128] grouped-roll variant measured 2x SLOWER on chip
+    — the 3-D reshape relayouts dominate; full-width rolls it is.)"""
     k = 1
     idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     while k < n:
