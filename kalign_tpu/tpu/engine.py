@@ -84,6 +84,18 @@ class TpuEngine:
         self.use_pallas = use_pallas
         self.mesh = mesh
 
+    # cap on the [B, L1p, L2p] match bytes of ONE device launch; bigger
+    # buckets split into chunked launches (an unchunked 32768-problem
+    # consistency bucket at 256x256 would need an 8.6 GB match array)
+    MAX_MATCH_BYTES = 1 << 30
+
+    def _max_launch(self, L1p: int, L2p: int) -> int:
+        cap = max(8, self.MAX_MATCH_BYTES // (L1p * L2p * 4))
+        p = 8
+        while p * 2 <= cap:
+            p *= 2
+        return p
+
     def _pad_to_launch(self, B: int) -> int:
         """Launch batch size: power of two (bounded compile cache) and a
         multiple of the mesh device count when sharding."""
@@ -131,6 +143,16 @@ class TpuEngine:
         level before collecting any overlaps device compute with the
         (latency-bound) device->host result transfers."""
         B = lhs.shape[0]
+        cap = self._max_launch(lhs.shape[1], rhs.shape[1])
+        if B > cap:
+            handles = []
+            for lo in range(0, B, cap):
+                hi = min(lo + cap, B)
+                handles.append(self._dispatch_bucket(
+                    lhs[lo:hi], rhs[lo:hi], pc[lo:hi], pr[lo:hi],
+                    la[lo:hi], lb[lo:hi], eps[lo:hi],
+                    None if bonus is None else bonus[lo:hi]))
+            return ("multi", handles)
         if self.mesh is not None and self.mesh.devices.size > 1:
             from kalign_tpu.parallel.mesh import sharded_bucket_step
             n_dev = self.mesh.devices.size
@@ -197,6 +219,13 @@ class TpuEngine:
 
     def _collect_bucket(self, handle):
         """Fetch + decode a _dispatch_bucket result (one transfer)."""
+        if handle[0] == "multi":
+            steps, scores = [], []
+            for h in handle[1]:
+                s, sc = self._collect_bucket(h)
+                steps.extend(s)
+                scores.append(sc)
+            return steps, np.concatenate(scores)
         if handle[0] == "done":
             return handle[1]
         from kalign_tpu.tpu.traceback import unpack_traceback
@@ -462,12 +491,6 @@ class TpuEngine:
         ii = np.arange(1, la + 1, dtype=np.float32)[:, None]
         jj = np.arange(1, lb + 1, dtype=np.float32)[None, :]
         match[:la, :lb] -= np.abs(jj - ii * (lb / max(la, 1))) * np.float32(eps)
-
-    def _with_bias(self, match, la, lb, eps):
-        out = match.copy()
-        for k in range(match.shape[0]):
-            self._add_center_bias(out[k], int(la[k]), int(lb[k]), eps)
-        return out
 
     def _select_candidates(self, items, all_steps, all_scores, B, K,
                            sip, nsip, gaps, lens, ap: P.AlnParam):

@@ -50,28 +50,42 @@ DEC_GA_EXT = 4
 DEC_GB_EXT = 8
 
 
-def _vmem_rows(R: int) -> float:
-    """f32-row-equivalents of width L2p held per problem: 3 state rows,
-    8 colpen rows, ga0, 2R double-buffered match rows in, 2R/4 int8 dec
-    rows out."""
-    return 12.0 + 2.5 * R
+def _vmem_bytes(bt: int, W: int, R: int) -> int:
+    """Exact VMEM footprint of one kernel instance: state scratch,
+    resident colpen/ga0, double-buffered match-in (f32) and dec-out
+    (int8) windows, and the rowpen stream whose 8-wide lane dim pads to
+    128 (the dominant hidden cost for big tiles)."""
+    f = 4
+    return (3 * bt * W * f          # state scratch
+            + 10 * bt * W * f       # colpen (resident)
+            + bt * W * f            # ga0 (resident)
+            + 2 * R * bt * W * f    # match in, double-buffered
+            + 2 * R * bt * W        # dec out (int8), double-buffered
+            + 2 * R * bt * 128 * f  # rowpen, lane-padded 8 -> 128
+            + 4 * bt * 128 * f)     # lab / bias / score / state pads
 
 
-def pick_plan(B: int, L2p: int, vmem_budget: int = 12 * 2**20):
+def pick_plan(B: int, L2p: int, vmem_budget: int = 7 * 2**20):
     """Choose (bt, rows_per_step, feasible) for the Pallas kernel.
 
     Prefers big tiles (amortise per-grid-step overhead) and R=8 row
     unrolls; under VMEM pressure (very wide problems) shrinks the tile
     first, then the unroll.  feasible=False means even (bt=8, R=1)
     exceeds the budget — callers should use the HBM-resident XLA scan
-    implementation instead."""
+    implementation instead.
+
+    The 7 MiB budget is EMPIRICAL against the 16 MiB scoped-vmem limit:
+    the with_dec=True compile of a (bt=256, W=256, R=8) instance was
+    measured at 19.26 MiB against _vmem_bytes' 11 MiB estimate (Mosaic
+    adds buffering the model does not see), so the budget carries a
+    ~1.8x safety factor."""
     for R in (8, 4, 2, 1):
         bt = 256
-        while bt > 8 and bt * L2p * 4 * _vmem_rows(R) > vmem_budget:
+        while bt > 8 and _vmem_bytes(bt, L2p, R) > vmem_budget:
             bt //= 2
         while bt > B and bt > 8:
             bt //= 2
-        if bt * L2p * 4 * _vmem_rows(R) <= vmem_budget:
+        if _vmem_bytes(bt, L2p, R) <= vmem_budget:
             return bt, R, True
     return 8, 1, False
 

@@ -37,9 +37,14 @@ def traceback_batch(dec, la, lb, end_state, max_steps):
 
     def one(dec_b, la_b, lb_b, st_b):
         # + 0*la_b ties the constant carries to the inputs so the
-        # while_loop carry has consistent varying-axes under shard_map
+        # loop carry has consistent varying-axes under shard_map.
+        # The steps buffer is int32 INSIDE the loop: a vmapped int8
+        # scatter (steps.at[n].set) miscompiles on TPU at batch sizes
+        # >= ~1024 (walks silently corrupt; verified against identical
+        # data at smaller batches); int32 scatters are sound.  Cast to
+        # int8 only at the end.
         zero = (la_b * 0).astype(jnp.int32)
-        steps = jnp.full((max_steps,), STEP_PAD, jnp.int8) + zero.astype(jnp.int8)
+        steps = jnp.full((max_steps,), STEP_PAD, jnp.int32) + zero
 
         def substep(c):
             i, j, st, n, steps = c
@@ -69,9 +74,8 @@ def traceback_batch(dec, la, lb, end_state, max_steps):
             in_ga = st == 1
             in_a = st == 0
 
-            emit = jnp.where(in_a, 0, jnp.where(in_ga, 1, 2)).astype(jnp.int8)
-            steps = steps.at[n].set(jnp.where(active, emit,
-                                              jnp.int8(STEP_PAD)))
+            emit = jnp.where(in_a, 0, jnp.where(in_ga, 1, 2))
+            steps = steps.at[n].set(jnp.where(active, emit, STEP_PAD))
 
             next_i = jnp.where(in_a | in_gb, i - 1, i)
             next_j = jnp.where(in_a | in_ga, j - 1, j)
@@ -86,17 +90,20 @@ def traceback_batch(dec, la, lb, end_state, max_steps):
             n = n + jnp.where(active, jnp.int32(1), jnp.int32(0))
             return (i, j, st, n, steps)
 
-        def cond(c):
-            i, j, st, n, steps = c
-            return (i > 0) | (j > 0)
-
-        def body(c):
+        def body(_, c):
             for _ in range(UNROLL):
                 c = substep(c)
             return c
 
-        out = jax.lax.while_loop(
-            cond, body,
+        # fixed trip count + per-substep active masking: a batched
+        # lax.while_loop produced corrupted walks at batch >= ~1024 on
+        # TPU (batch-size-dependent miscompile; dec verified correct,
+        # single-problem walks of the same data correct) — a fori_loop
+        # with the same masked body is immune and costs the same, since
+        # every lane runs until the slowest finishes either way
+        n_iters = (max_steps + UNROLL - 1) // UNROLL
+        out = jax.lax.fori_loop(
+            0, n_iters, body,
             (la_b.astype(jnp.int32), lb_b.astype(jnp.int32),
              st_b.astype(jnp.int32), zero, steps))
         _, _, _, n, steps = out

@@ -98,3 +98,24 @@ def test_pallas_degenerate_lengths():
                                      rel=1e-5)
     # both empty: empty path
     assert nsteps[2] == 0
+
+
+def test_traceback_large_batch_validity():
+    """Regression: a vmapped int8 scatter miscompiled on TPU at batch
+    sizes >= ~1024, silently corrupting traceback walks (valid at
+    B<=512, 479/2048 invalid above).  The walk buffer is int32 now;
+    every path must consume exactly (la, lb) residues."""
+    B, L1p, L2p = 1024, 128, 128
+    rng = np.random.default_rng(31)
+    match, pc, pr, la, lb = _random_problem(rng, B, L1p, L2p)
+    dec, score, st = gotoh_forward_pallas(
+        jnp.asarray(match), jnp.asarray(pc), jnp.asarray(pr),
+        jnp.asarray(la), jnp.asarray(lb), bt=8, interpret=True)
+    steps, nsteps = traceback_batch(dec, jnp.asarray(la), jnp.asarray(lb),
+                                    st, L1p + L2p + 2)
+    steps = np.asarray(steps)
+    nsteps = np.asarray(nsteps)
+    for k in range(B):
+        s = steps[k, :nsteps[k]]
+        assert np.sum(s != 1) == la[k], k
+        assert np.sum(s != 2) == lb[k], k
