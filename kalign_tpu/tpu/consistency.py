@@ -13,7 +13,6 @@ from typing import List
 import numpy as np
 
 from kalign_tpu.core import params as P
-from kalign_tpu.tpu.profile import leaf_profile
 
 
 def select_anchors(seq_dist: np.ndarray, K: int) -> List[int]:
@@ -51,12 +50,10 @@ class ConsistencyTable:
         maps: List[np.ndarray] = [None] * (n * K)
         base = P.AlnParam(**{**ap.__dict__})
         base.subm_offset = 0.0
-        profiles = [leaf_profile(c, base.subm, base.gpo, base.gpe,
-                                 base.tgpe, 0.0) for c in codes]
         # assemble all N*K pairwise problems, shorter side on rows, and
         # run them as bucketed batched launches (one per padded shape)
         jobs = []      # (i, k, swapped)
-        pairs = []
+        pairs = []     # (rows_seq_idx, cols_seq_idx)
         for i in range(n):
             li = len(codes[i])
             for k, ak in enumerate(anchors):
@@ -65,12 +62,12 @@ class ConsistencyTable:
                     continue
                 lk = len(codes[ak])
                 if li <= lk:
-                    pairs.append((profiles[i], profiles[ak]))
+                    pairs.append((i, ak))
                     jobs.append((i, k, False))
                 else:
-                    pairs.append((profiles[ak], profiles[i]))
+                    pairs.append((ak, i))
                     jobs.append((i, k, True))
-        all_steps = engine._dp_leaf_batch(pairs)
+        all_steps = engine._dp_leaf_batch(codes, pairs, base)
         for (i, k, swapped), steps in zip(jobs, all_steps):
             gap_i, gap_k = (2, 1) if swapped else (1, 2)
             # map residue of i -> residue of anchor at match steps
@@ -126,27 +123,60 @@ class ConsistencyTable:
         conf[ok] = agree[ok] / total[ok]
         return pos, conf
 
-    def bonus(self, engine, rows_node, len_r, cols_node, len_c,
-              sip, nsip, gaps, lens) -> np.ndarray:
-        out = np.zeros((len_r, len_c), dtype=np.float32)
-        per_w = np.float32(self.weight / self.K)
+    def bonus_arrays(self, rows_node, len_r, cols_node, len_c,
+                     sip, nsip, gaps, lens):
+        """Compact bonus inputs: (apos_r, conf_r [K, len_r],
+        apos_c, conf_c [K, len_c]).  The cols side is DEDUPED so only
+        the LAST column mapping to each anchor position keeps its
+        confidence — the same winner the reference's inverse-map build
+        picks (anchor_consistency.c:469-561) — which makes
+
+          bonus[i, j] = sum_k per_w * conf_r[k,i] * conf_c[k,j]
+                        * [apos_r[k,i] == apos_c[k,j] >= 0]
+
+        exactly equal to the reference bonus matrix.  The equality form
+        evaluates cheaply on device inside the fused bucket step, so
+        only O(K * (L1 + L2)) floats travel per merge instead of the
+        O(L1 * L2) matrix."""
+        apos_r = np.full((self.K, len_r), -1, np.int32)
+        conf_r = np.zeros((self.K, len_r), np.float32)
+        apos_c = np.full((self.K, len_c), -1, np.int32)
+        conf_c = np.zeros((self.K, len_c), np.float32)
         for k in range(self.K):
             pr, cr = self._node_positions(rows_node, len_r, k, sip, nsip,
                                           gaps, lens)
             pc, cc = self._node_positions(cols_node, len_c, k, sip, nsip,
                                           gaps, lens)
-            alen = int(max(pr.max(initial=-1), pc.max(initial=-1))) + 1
-            if alen == 0:
-                continue
-            inv = np.full(alen, -1, dtype=np.int64)
-            inv_conf = np.zeros(alen, dtype=np.float32)
+            apos_r[k] = pr
+            conf_r[k] = cr
+            # dedup: last occurrence of each anchor position wins
             sel = pc >= 0
-            inv[pc[sel]] = np.nonzero(sel)[0]
-            inv_conf[pc[sel]] = cc[sel]
-            rsel = pr >= 0
-            ridx = np.nonzero(rsel)[0]
-            tgt = inv[pr[ridx]]
-            good = tgt >= 0
-            out[ridx[good], tgt[good]] += per_w * cr[ridx[good]] * \
-                inv_conf[pr[ridx[good]]]
+            if sel.any():
+                alen = int(pc.max()) + 1
+                winner = np.full(alen, -1, np.int64)
+                winner[pc[sel]] = np.nonzero(sel)[0]
+                keep = np.zeros(len_c, bool)
+                keep[winner[winner >= 0]] = True
+                pc = np.where(keep, pc, -1)
+                cc = np.where(keep, cc, 0.0)
+            apos_c[k] = pc
+            conf_c[k] = cc
+        return apos_r, conf_r, apos_c, conf_c
+
+    @property
+    def per_weight(self) -> np.float32:
+        return np.float32(self.weight / self.K)
+
+    def bonus(self, engine, rows_node, len_r, cols_node, len_c,
+              sip, nsip, gaps, lens) -> np.ndarray:
+        """Dense bonus matrix (host fallback path), computed from the
+        compact arrays; identical values to the reference matrix."""
+        apos_r, conf_r, apos_c, conf_c = self.bonus_arrays(
+            rows_node, len_r, cols_node, len_c, sip, nsip, gaps, lens)
+        out = np.zeros((len_r, len_c), dtype=np.float32)
+        per_w = self.per_weight
+        for k in range(self.K):
+            eq = (apos_r[k][:, None] == apos_c[k][None, :]) & \
+                (apos_r[k][:, None] >= 0)
+            out += (per_w * conf_r[k][:, None] * conf_c[k][None, :]) * eq
         return out

@@ -34,6 +34,18 @@ def _bucket(n: int, q: int = 128) -> int:
     return max(q, ((n + q - 1) // q) * q)
 
 
+def _densify_bonus(bonus, B, L1p, L2p):
+    """Dense [B, L1p, L2p] bonus matrix from the compact tuple, with
+    the exact accumulation order of ConsistencyTable.bonus."""
+    per_w, apr, cfr, apc, cfc = bonus
+    dense = np.zeros((B, L1p, L2p), np.float32)
+    for k in range(apr.shape[1]):
+        eq = (apr[:, k, :, None] == apc[:, k, None, :]) & \
+            (apr[:, k, :, None] >= 0)
+        dense += ((per_w * cfr[:, k, :, None]) * cfc[:, k, None, :]) * eq
+    return dense
+
+
 def _pow2_batch(B: int) -> int:
     """Pad batch sizes to powers of two (min 8) so device launches hit a
     BOUNDED set of compiled shapes: guide-tree levels shrink per level
@@ -56,13 +68,29 @@ def _fused_forward(lhs, rhs, pc, pr, la, lb, bias_eps, bonus, bt,
     """Device-resident bucket step: batched MXU matmul -> optional
     consistency bonus -> Pallas forward with the centering bias fused
     into the kernel's match-row read (saves a full elementwise pass
-    over the [B, L1p, L2p] match array)."""
+    over the [B, L1p, L2p] match array).
+
+    bonus is None, a dense [B, L1p, L2p] matrix, or the compact tuple
+    (per_w, apos_r, conf_r, apos_c, conf_c) from
+    ConsistencyTable.bonus_arrays — the dense matrix is then built ON
+    DEVICE (accumulated k-by-k into a zero matrix first, so the float
+    summation order matches the host matrix exactly); only
+    O(K*(L1+L2)) floats travel instead of O(L1*L2)."""
     from kalign_tpu.tpu.gotoh_pallas import gotoh_forward_pallas
     match = jax.lax.dot_general(
         lhs, rhs, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)          # [B, L1p, L2p]
     slope = lb.astype(jnp.float32) / jnp.maximum(la.astype(jnp.float32), 1.0)
-    if bonus is not None:
+    if isinstance(bonus, tuple):
+        per_w, apr, cfr, apc, cfc = bonus
+        acc = jnp.zeros_like(match)
+        for k in range(apr.shape[1]):
+            eq = (apr[:, k, :, None] == apc[:, k, None, :]) & \
+                (apr[:, k, :, None] >= 0)
+            term = (per_w * cfr[:, k, :, None]) * cfc[:, k, None, :]
+            acc = acc + jnp.where(eq, term, 0.0)
+        match = match + acc
+    elif bonus is not None:
         match = match + bonus
     return gotoh_forward_pallas(match, pc, pr, la, lb, bt=bt,
                                 rows_per_step=rows_per_step,
@@ -143,6 +171,27 @@ class TpuEngine:
         level before collecting any overlaps device compute with the
         (latency-bound) device->host result transfers."""
         B = lhs.shape[0]
+
+        def bonus_slice(b, lo, hi):
+            if b is None:
+                return None
+            if isinstance(b, tuple):
+                return (b[0],) + tuple(a[lo:hi] for a in b[1:])
+            return b[lo:hi]
+
+        def bonus_pad(b, pad):
+            if b is None:
+                return None
+            if isinstance(b, tuple):
+                def padc(x, fill):
+                    return np.concatenate(
+                        [x, np.full((pad,) + x.shape[1:], fill, x.dtype)])
+                per_w, apr, cfr, apc, cfc = b
+                return (per_w, padc(apr, -1), padc(cfr, 0),
+                        padc(apc, -1), padc(cfc, 0))
+            return np.concatenate(
+                [b, np.zeros((pad,) + b.shape[1:], b.dtype)])
+
         cap = self._max_launch(lhs.shape[1], rhs.shape[1])
         if B > cap:
             handles = []
@@ -151,8 +200,14 @@ class TpuEngine:
                 handles.append(self._dispatch_bucket(
                     lhs[lo:hi], rhs[lo:hi], pc[lo:hi], pr[lo:hi],
                     la[lo:hi], lb[lo:hi], eps[lo:hi],
-                    None if bonus is None else bonus[lo:hi]))
+                    bonus_slice(bonus, lo, hi)))
             return ("multi", handles)
+        if isinstance(bonus, tuple) and not (
+                self.use_pallas
+                and not (self.mesh is not None
+                         and self.mesh.devices.size > 1)):
+            # mesh / CPU fallback paths take the dense matrix
+            bonus = _densify_bonus(bonus, B, lhs.shape[1], rhs.shape[1])
         if self.mesh is not None and self.mesh.devices.size > 1:
             from kalign_tpu.parallel.mesh import sharded_bucket_step
             n_dev = self.mesh.devices.size
@@ -169,8 +224,7 @@ class TpuEngine:
                 pr = np.concatenate([pr, np.tile(pr[-1:], (pad, 1, 1))])
                 la = np.concatenate([la, np.full(pad, 8, np.int32)])
                 lb = np.concatenate([lb, np.full(pad, 8, np.int32)])
-                if bonus is not None:
-                    bonus = padn(bonus)
+                bonus = bonus_pad(bonus, pad)
             steps, scores = sharded_bucket_step(
                 self.mesh, lhs, rhs, pc, pr, la, lb, eps, bonus)
             return ("done", (steps[:B], scores[:B]))
@@ -195,13 +249,18 @@ class TpuEngine:
                 la = np.concatenate([la, np.full(pad, 8, np.int32)])
                 lb = np.concatenate([lb, np.full(pad, 8, np.int32)])
                 eps = padn(eps)
-                if bonus is not None:
-                    bonus = padn(bonus)
+                bonus = bonus_pad(bonus, pad)
+            if isinstance(bonus, tuple):
+                bonus_dev = (jnp.float32(bonus[0]),) + tuple(
+                    jnp.asarray(a) for a in bonus[1:])
+            elif bonus is not None:
+                bonus_dev = jnp.asarray(bonus)
+            else:
+                bonus_dev = None
             dec, score, st = _fused_forward(
                 jnp.asarray(lhs), jnp.asarray(rhs), jnp.asarray(pc),
                 jnp.asarray(pr), jnp.asarray(la), jnp.asarray(lb),
-                jnp.asarray(eps),
-                None if bonus is None else jnp.asarray(bonus),
+                jnp.asarray(eps), bonus_dev,
                 bt, R, True)
             max_steps = lhs.shape[1] + rhs.shape[1] + 2
             packed = traceback_packed(dec, jnp.asarray(la), jnp.asarray(lb),
@@ -213,6 +272,8 @@ class TpuEngine:
         for k in range(B):
             self._add_center_bias(match[k], int(la[k]), int(lb[k]),
                                   float(eps[k]))
+        if isinstance(bonus, tuple):
+            bonus = _densify_bonus(bonus, B, lhs.shape[1], rhs.shape[1])
         if bonus is not None:
             match += bonus
         return ("done", self._forward_batch(match, pc, pr, la, lb))
@@ -402,7 +463,20 @@ class TpuEngine:
                 lb = np.full(Ba, 8, np.int32)
                 lhs = np.zeros((Ba, L1p, 23), np.float32)
                 rhs = np.zeros((Ba, L2p, 23), np.float32)
-                bonus = np.zeros((Ba, L1p, L2p), np.float32) if ct is not None                     else None
+                # consistency bonuses travel as compact per-anchor
+                # position/confidence arrays on the single-device pallas
+                # path (densified on device inside _fused_forward);
+                # other paths densify host-side in _dispatch_bucket
+                compact_ok = (self.use_pallas and
+                              not (self.mesh is not None
+                                   and self.mesh.devices.size > 1))
+                bonus = None
+                if ct is not None:
+                    KA = ct.K
+                    b_apr = np.full((Ba, KA, L1p), -1, np.int32)
+                    b_cfr = np.zeros((Ba, KA, L1p), np.float32)
+                    b_apc = np.full((Ba, KA, L2p), -1, np.int32)
+                    b_cfc = np.zeros((Ba, KA, L2p), np.float32)
                 for k, (c, a, b, rn, cn, prof_r, prof_c, cif, _) in enumerate(items):
                     la[k] = prof_r.length
                     lb[k] = prof_c.length
@@ -413,13 +487,21 @@ class TpuEngine:
                         lhs[k, :la[k]] = prof_r.counts
                         rhs[k, :lb[k]] = prof_c.subrows
                     if ct is not None:
-                        bonus[k, :la[k], :lb[k]] = ct.bonus(
-                            self, rn, prof_r.length, cn, prof_c.length,
+                        apr, cfr, apc, cfc = ct.bonus_arrays(
+                            rn, prof_r.length, cn, prof_c.length,
                             sip, nsip, gaps, lens)
+                        b_apr[k, :, :la[k]] = apr
+                        b_cfr[k, :, :la[k]] = cfr
+                        b_apc[k, :, :lb[k]] = apc
+                        b_cfc[k, :, :lb[k]] = cfc
                     pc[k, :, 1:lb[k] + 1] = (prof_c.pen[1:-1] *
                                              np.float32(nsip[rn])).T
                     pr[k, :, 1:la[k] + 1] = (prof_r.pen[1:-1] *
                                              np.float32(nsip[cn])).T
+                if ct is not None:
+                    bonus = (ct.per_weight, b_apr, b_cfr, b_apc, b_cfc)
+                    if not compact_ok:
+                        bonus = _densify_bonus(bonus, Ba, L1p, L2p)
 
                 if K > 1:
                     lhs = np.tile(lhs, (K, 1, 1))
@@ -428,7 +510,11 @@ class TpuEngine:
                     pr = np.tile(pr, (K, 1, 1))
                     la = np.tile(la, K)
                     lb = np.tile(lb, K)
-                    bonus = None if bonus is None else np.tile(bonus, (K, 1, 1))
+                    if isinstance(bonus, tuple):
+                        bonus = (bonus[0],) + tuple(
+                            np.tile(a, (K, 1, 1)) for a in bonus[1:])
+                    elif bonus is not None:
+                        bonus = np.tile(bonus, (K, 1, 1))
                     eps = np.repeat(np.asarray(refine_candidates, np.float32), B)
                 else:
                     eps = np.full(Ba, refine_candidates[0], np.float32)
@@ -559,34 +645,54 @@ class TpuEngine:
     # without moving the well-behaved families.
     MAP_EPS = 1e-2
 
-    def _dp_leaf_batch(self, pairs):
-        """Batched seq x seq DP over many (prof_rows, prof_cols) leaf
-        pairs (the consistency map workload, anchor_consistency.c:246-267).
-        Problems are bucketed by padded shape; each bucket is ONE fused
-        device launch.  Returns a list of step arrays in input order."""
+    def _dp_leaf_batch(self, codes, pairs, ap):
+        """Batched seq x seq DP over (rows_seq, cols_seq) index pairs of
+        leaf sequences (the consistency map workload,
+        anchor_consistency.c:246-267).  Assembly is fully vectorized —
+        leaf profiles are one-hot counts / subm rows / constant
+        penalties, so each bucket builds with fancy indexing instead of
+        a per-pair python loop.  Returns a list of step arrays in input
+        order."""
+        lens = np.array([len(c) for c in codes], np.int32)
+        Lmax = int(lens.max())
+        pad = np.zeros((len(codes), Lmax), np.uint8)
+        for i, c in enumerate(codes):
+            pad[i, :len(c)] = c
+        subm = np.asarray(ap.subm, np.float32)
+        penv = np.array([-ap.gpo, -ap.gpe, -ap.tgpe], np.float32)
+
         buckets = {}
-        for idx, (prof_r, prof_c) in enumerate(pairs):
-            key = (_bucket(prof_r.length), _bucket(prof_c.length))
-            buckets.setdefault(key, []).append((idx, prof_r, prof_c))
+        for idx, (ri, ci) in enumerate(pairs):
+            key = (_bucket(lens[ri]), _bucket(lens[ci]))
+            buckets.setdefault(key, []).append((idx, ri, ci))
         out: List[Optional[np.ndarray]] = [None] * len(pairs)
         for (L1p, L2p), items in buckets.items():
+            rows = np.array([r for _, r, _ in items], np.int32)
+            cols = np.array([c for _, _, c in items], np.int32)
+            la = lens[rows]
+            lb = lens[cols]
             B = len(items)
+            Lr = min(L1p, Lmax)
+            Lc = min(L2p, Lmax)
+            pos_r = np.arange(Lr)[None, :]
+            pos_c = np.arange(Lc)[None, :]
+            valid_r = (pos_r < la[:, None])[:, :, None]
+            valid_c = (pos_c < lb[:, None])[:, :, None]
             lhs = np.zeros((B, L1p, 23), np.float32)
+            lhs[:, :Lr] = (pad[rows, :Lr, None] ==
+                           np.arange(23)[None, None, :]) * valid_r
             rhs = np.zeros((B, L2p, 23), np.float32)
-            pc = np.zeros((B, 3, L2p + 1), np.float32)
-            pr = np.zeros((B, 3, L1p + 1), np.float32)
-            la = np.zeros(B, np.int32)
-            lb = np.zeros(B, np.int32)
-            for k, (idx, prof_r, prof_c) in enumerate(items):
-                la[k] = prof_r.length
-                lb[k] = prof_c.length
-                lhs[k, :la[k]] = prof_r.counts
-                rhs[k, :lb[k]] = prof_c.subrows
-                pc[k, :, 1:lb[k] + 1] = prof_c.pen[1:-1].T
-                pr[k, :, 1:la[k] + 1] = prof_r.pen[1:-1].T
+            rhs[:, :Lc] = subm[pad[cols, :Lc]] * valid_c
+            colsv = np.arange(L2p + 1)[None, :]
+            pc = np.where((colsv >= 1) & (colsv <= lb[:, None]),
+                          1.0, 0.0)[:, None, :] * penv[None, :, None]
+            rowsv = np.arange(L1p + 1)[None, :]
+            pr = np.where((rowsv >= 1) & (rowsv <= la[:, None]),
+                          1.0, 0.0)[:, None, :] * penv[None, :, None]
             eps = np.full(B, self.MAP_EPS, np.float32)
-            steps_list, _ = self._run_bucket(lhs, rhs, pc, pr, la, lb,
-                                             eps, None)
+            steps_list, _ = self._run_bucket(
+                lhs, rhs, pc.astype(np.float32), pr.astype(np.float32),
+                la, lb, eps, None)
             for k, (idx, _, _) in enumerate(items):
                 out[idx] = np.asarray(steps_list[k], np.int8)
         return out
