@@ -220,6 +220,199 @@ def batched_gotoh(mesh: Mesh, match, pens_cols, pens_rows, la, lb):
     return np.asarray(dec), np.asarray(score), np.asarray(end_state)
 
 
+def sharded_long_gotoh(mesh: Mesh, match, pens_cols, pens_rows, la, lb,
+                       axis: str = "data"):
+    """ONE Gotoh DP problem with the COLUMN axis sharded over the mesh
+    devices — the context/sequence-parallel axis of SURVEY §5 for
+    sequences whose DP rows exceed a single chip's tile budget.
+
+    Pipelined wavefront: at global step s, device d computes DP row
+    r = s - d of its column band.  The only cross-device traffic is a
+    4-float halo per step over ICI (lax.ppermute): the previous row's
+    boundary states for the diagonal move and the running prefix-max
+    carry of the affine-gap row scan (the gap-extension prefix sums C
+    are global cumsums, precomputed and sharded, so the scan transform
+    needs no further communication).  Total steps = L1 + n_dev - 1.
+
+    match [L1, W] f32 (W a multiple of the device count; pad with
+    anything beyond lb), pens_cols [3, W+1], pens_rows [3, L1+1],
+    la/lb ints.  Returns (dec [L1, W] int8 in the packed kernel layout
+    (row r -> index r-1, col j -> index j-1), score, end_state) —
+    feed dec straight to tpu.traceback.traceback_batch."""
+    from jax import shard_map
+
+    L1, W = match.shape
+    n_dev = mesh.devices.size
+    assert W % n_dev == 0, (W, n_dev)
+    Wd = W // n_dev
+
+    goB = np.asarray(pens_cols[0], np.float32)
+    geB = np.asarray(pens_cols[1], np.float32)
+    tgeB = np.asarray(pens_cols[2], np.float32)
+    goA = np.asarray(pens_rows[0], np.float32)
+    geA = np.asarray(pens_rows[1], np.float32)
+    tgeA = np.asarray(pens_rows[2], np.float32)
+
+    # global, per-column (cols 1..W), sharded over the mesh
+    C_norm = np.cumsum(geB[1:]).astype(np.float32)
+    C_term = np.cumsum(tgeB[1:]).astype(np.float32)
+    z1 = np.zeros(1, np.float32)
+    colv = np.stack([
+        goB[1:], geB[1:], tgeB[1:], C_norm, C_term,
+        np.concatenate([goB[2:], z1]),            # goB[j+1]
+        np.concatenate([tgeB[2:], z1]),           # tgeB[j+1]
+        np.concatenate([z1, goB[1:W]]),           # goB[j-1], 0 at col 1
+        np.concatenate([C_norm[1:], z1]),         # C_norm[j+1]
+        np.concatenate([C_term[1:], z1]),         # C_term[j+1]
+    ]).astype(np.float32)                         # [10, W]
+
+    # per-row scalars (rows 1..L1): goA_i, geA_i, tgeA_i, goA_prev,
+    # gb0_prev (= GB[r-1, 0], the terminal column-0 gap run)
+    cum_tgeA = np.cumsum(tgeA[1:]).astype(np.float32)
+    gb0 = np.concatenate([np.float32(-3e38) * np.ones(1, np.float32),
+                          cum_tgeA[:L1 - 1]])
+    rowv = jnp.asarray(np.stack([goA[1:], geA[1:], tgeA[1:], goA[:L1],
+                                 gb0]).astype(np.float32))  # [5, L1]
+
+    NEGv = jnp.float32(-3.0e38)
+    la_i = int(la)
+    lb_i = int(lb)
+
+    def local(match_l, colv_l):
+        d = jax.lax.axis_index(axis)
+        cols_l = jax.lax.broadcasted_iota(jnp.int32, (Wd,), 0) + d * Wd + 1
+        col_valid = cols_l <= lb_i
+        is_term_col = cols_l == lb_i
+        goB_l, geB_l, tgeB_l, Cn_l, Ct_l, goBn_l, tgeBn_l, goBs_l, \
+            Cnn_l, Ctn_l = [colv_l[k] for k in range(10)]
+
+        # + 0*Ct_l ties constants to sharded inputs (consistent
+        # varying-axes for the fori carry under shard_map)
+        tie = 0.0 * Ct_l
+        A0 = jnp.full((Wd,), NEGv) + tie
+        GA0 = jnp.where(col_valid, Ct_l, NEGv)
+        GB0 = jnp.full((Wd,), NEGv) + tie
+        dec0 = jnp.zeros((L1, Wd), jnp.int8) + tie.astype(jnp.int8)
+        # halo packet: [a_b, ga_b, gb_b, u_carry]
+        pkt0 = jnp.full((4,), NEGv, jnp.float32) + tie[0]
+
+        def body(s, carry):
+            A_prev, GA_prev, GB_prev, prev_bnd, inbox, dec, \
+                fin_A, fin_GA, fin_GB = carry
+            r = s - d
+            active = (r >= 1) & (r <= la_i)
+
+            goA_i = rowv[0][jnp.clip(r - 1, 0, L1 - 1)]
+            geA_i = rowv[1][jnp.clip(r - 1, 0, L1 - 1)]
+            tgeA_i = rowv[2][jnp.clip(r - 1, 0, L1 - 1)]
+            goA_prev = rowv[3][jnp.clip(r - 1, 0, L1 - 1)]
+            gb0_prev = rowv[4][jnp.clip(r - 1, 0, L1 - 1)]
+            m_row = jax.lax.dynamic_slice_in_dim(
+                match_l, jnp.clip(r - 1, 0, L1 - 1), 1, 0)[0]
+
+            # left boundary of the previous row: device 0 injects the
+            # analytic DP column 0, others use the buffered halo
+            a0 = jnp.where(r == 1, 0.0, NEGv)
+            a_b = jnp.where(d == 0, a0, prev_bnd[0])
+            ga_b = jnp.where(d == 0, NEGv, prev_bnd[1])
+            gb_b = jnp.where(d == 0, gb0_prev, prev_bnd[2])
+            u_in = jnp.where(d == 0, NEGv, inbox[3])
+
+            shift = lambda x, b: jnp.concatenate([jnp.array([b]), x[:-1]])
+            A_s = shift(A_prev, a_b)
+            GA_s = shift(GA_prev, ga_b)
+            GB_s = shift(GB_prev, gb_b)
+
+            diagA = A_s
+            diagGA = GA_s + goBs_l
+            diagGB = GB_s + goA_prev
+            best01 = jnp.maximum(diagA, diagGA)
+            dec_a = jnp.where(diagGA >= diagA, 1, 0)
+            dec_a = jnp.where(diagGB >= best01, 2, dec_a)
+            A_row = jnp.maximum(best01, diagGB) + m_row
+            A_row = jnp.where(col_valid, A_row, NEGv)
+
+            is_last_row = r == la_i
+            ge_eff = jnp.where(is_term_col, tgeA_i, geA_i)
+            go_eff = jnp.where(is_term_col, tgeA_i, goA_i)
+            gb_e = GB_prev + ge_eff
+            gb_o = A_prev + go_eff
+            GB_row = jnp.where(col_valid, jnp.maximum(gb_e, gb_o), NEGv)
+            dec_gb = (gb_e > gb_o).astype(jnp.int32)
+
+            ge_row = jnp.where(is_last_row, tgeB_l, geB_l)
+            go_row = jnp.where(is_last_row, tgeB_l, goB_l)
+            C = jnp.where(is_last_row, Ct_l, Cn_l)
+            go_next = jnp.where(is_last_row, tgeBn_l, goBn_l)
+            C_next = jnp.where(is_last_row, Ctn_l, Cnn_l)
+            u = A_row + go_next - C_next
+            u = jnp.where(cols_l < lb_i, u, NEGv)
+            cm = jax.lax.cummax(u)
+            prefix = jnp.maximum(shift(cm, NEGv), u_in)
+            GA_row = jnp.where(col_valid, prefix + C, NEGv)
+            u_out = jnp.maximum(u_in, cm[-1])
+
+            # the GA-extend decision at the local first column compares
+            # against the CURRENT row's values at the neighbour's last
+            # column, which ride in this step's inbox
+            ga_cur_b = jnp.where(d == 0, NEGv, inbox[1])
+            a_cur_b = jnp.where(d == 0, NEGv, inbox[0])
+            ga_ext = shift(GA_row, ga_cur_b) + ge_row
+            ga_open = shift(A_row, a_cur_b) + go_row
+            dec_ga = jnp.where(ga_ext > ga_open, 1, 0)
+            dec_row = (dec_a | (dec_ga << 2) | (dec_gb << 3)).astype(jnp.int8)
+
+            A_new = jnp.where(active, A_row, A_prev)
+            GA_new = jnp.where(active, GA_row, GA_prev)
+            GB_new = jnp.where(active, GB_row, GB_prev)
+            dec = jax.lax.dynamic_update_slice_in_dim(
+                dec, jnp.where(active, dec_row,
+                               jax.lax.dynamic_slice_in_dim(
+                                   dec, jnp.clip(r - 1, 0, L1 - 1),
+                                   1, 0)[0])[None, :],
+                jnp.clip(r - 1, 0, L1 - 1), 0)
+
+            done_here = r == la_i
+            fin_A = jnp.where(done_here, A_new, fin_A)
+            fin_GA = jnp.where(done_here, GA_new, fin_GA)
+            fin_GB = jnp.where(done_here, GB_new, fin_GB)
+
+            out_pkt = jnp.array([A_new[-1], GA_new[-1], GB_new[-1],
+                                 jnp.where(active, u_out, NEGv)],
+                                jnp.float32)
+            new_inbox = jax.lax.ppermute(
+                out_pkt, axis, [(i, i + 1) for i in range(n_dev - 1)])
+            # this step's inbox described the neighbour's CURRENT row —
+            # which is the previous row of the row this device computes
+            # NEXT step, so it becomes prev_bnd (the diag boundary)
+            return (A_new, GA_new, GB_new, inbox, new_inbox, dec,
+                    fin_A, fin_GA, fin_GB)
+
+        init = (A0, GA0, GB0, pkt0, pkt0, dec0, A0, GA0, GB0)
+        out = jax.lax.fori_loop(1, L1 + n_dev, body, init)
+        _, _, _, _, _, dec, fin_A, fin_GA, fin_GB = out
+
+        at_end = cols_l == lb_i
+        pick = lambda x: jnp.max(jnp.where(at_end, x, NEGv))
+        end_a = jax.lax.pmax(pick(fin_A), axis)
+        end_ga = jax.lax.pmax(pick(fin_GA), axis)
+        end_gb = jax.lax.pmax(pick(fin_GB), axis)
+        score = jnp.maximum(jnp.maximum(end_a, end_ga), end_gb)
+        st = jnp.where(end_ga > end_a,
+                       jnp.where(end_gb > end_ga, 2, 1),
+                       jnp.where(end_gb > end_a, 2, 0))
+        return dec, score, st
+
+    flat = Mesh(mesh.devices.reshape(-1), (axis,))
+    run = jax.jit(shard_map(
+        local, mesh=flat,
+        in_specs=(P(None, axis), P(None, axis)),
+        out_specs=(P(None, axis), P(), P())))
+    dec, score, st = run(jnp.asarray(match, jnp.float32),
+                         jnp.asarray(colv))
+    return np.asarray(dec), float(score), int(st)
+
+
 def sharded_bucket_step(mesh: Mesh, lhs, rhs, pc, pr, la, lb, eps,
                         bonus=None):
     """One progressive-merge bucket (matmul + centering bias + optional

@@ -52,3 +52,40 @@ def test_sharded_bucket_step_direct():
     assert np.allclose(scores_m, scores_s, rtol=1e-5)
     for a, b in zip(steps_m, steps_s):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.skipif(jax.device_count() < 2,
+                    reason="needs a multi-device mesh")
+def test_sharded_long_gotoh_matches_single_device():
+    """Column-sharded pipelined-wavefront DP (the sequence-parallel
+    axis for very long sequences): scores and traced paths must equal
+    the single-device implementation."""
+    import jax.numpy as jnp
+    from kalign_tpu.parallel.mesh import make_mesh, sharded_long_gotoh
+    from kalign_tpu.tpu import gotoh
+    from kalign_tpu.tpu.traceback import traceback_batch
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(33)
+    for _ in range(3):
+        L1 = int(rng.integers(40, 160))
+        W = 128
+        la = int(rng.integers(30, L1 + 1))
+        lb = int(rng.integers(60, W + 1))
+        match = rng.normal(scale=3.0, size=(L1, W)).astype(np.float32)
+        pc = -np.abs(rng.normal(loc=5.0, size=(3, W + 1))).astype(np.float32)
+        pr = -np.abs(rng.normal(loc=5.0, size=(3, L1 + 1))).astype(np.float32)
+        pc[1] *= 0.2
+        pr[1] *= 0.2
+        dec, score, st = sharded_long_gotoh(mesh, match, pc, pr, la, lb)
+        d2, s2, st2 = gotoh.gotoh_forward(
+            jnp.asarray(match), jnp.asarray(pc[0]), jnp.asarray(pc[1]),
+            jnp.asarray(pc[2]), jnp.asarray(pr[0]), jnp.asarray(pr[1]),
+            jnp.asarray(pr[2]), la, lb)
+        ref_path = gotoh.traceback(np.asarray(d2), la, lb, int(st2))
+        steps, n = traceback_batch(jnp.asarray(dec[None]),
+                                   jnp.asarray([la]), jnp.asarray([lb]),
+                                   jnp.asarray([st]), L1 + W + 2)
+        path = np.asarray(steps)[0, :int(np.asarray(n)[0])].tolist()
+        assert score == pytest.approx(float(s2), rel=1e-5)
+        assert path == ref_path
