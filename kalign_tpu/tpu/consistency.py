@@ -138,18 +138,15 @@ class ConsistencyTable:
         evaluates cheaply on device inside the fused bucket step, so
         only O(K * (L1 + L2)) floats travel per merge instead of the
         O(L1 * L2) matrix."""
-        apos_r = np.full((self.K, len_r), -1, np.int32)
-        conf_r = np.zeros((self.K, len_r), np.float32)
-        apos_c = np.full((self.K, len_c), -1, np.int32)
-        conf_c = np.zeros((self.K, len_c), np.float32)
+        apos_r, conf_r = self._node_positions_all(rows_node, len_r, sip,
+                                                  nsip, gaps, lens)
+        apos_c, conf_c = self._node_positions_all(cols_node, len_c, sip,
+                                                  nsip, gaps, lens)
+        apos_c = apos_c.copy()
+        conf_c = conf_c.copy()
         for k in range(self.K):
-            pr, cr = self._node_positions(rows_node, len_r, k, sip, nsip,
-                                          gaps, lens)
-            pc, cc = self._node_positions(cols_node, len_c, k, sip, nsip,
-                                          gaps, lens)
-            apos_r[k] = pr
-            conf_r[k] = cr
             # dedup: last occurrence of each anchor position wins
+            pc = apos_c[k]
             sel = pc >= 0
             if sel.any():
                 alen = int(pc.max()) + 1
@@ -157,11 +154,52 @@ class ConsistencyTable:
                 winner[pc[sel]] = np.nonzero(sel)[0]
                 keep = np.zeros(len_c, bool)
                 keep[winner[winner >= 0]] = True
-                pc = np.where(keep, pc, -1)
-                cc = np.where(keep, cc, 0.0)
-            apos_c[k] = pc
-            conf_c[k] = cc
+                apos_c[k] = np.where(keep, pc, -1)
+                conf_c[k] = np.where(keep, conf_c[k], 0.0)
         return apos_r, conf_r, apos_c, conf_c
+
+    def _node_positions_all(self, node, dp_len, sip, nsip, gaps, lens):
+        """All K anchors' consensus positions + confidence for a node at
+        once (the per-member column->residue mapping is built once and
+        shared across anchors; voting runs K-wide)."""
+        K = self.K
+        if nsip[node] == 1:
+            maps = self.pos_maps[node * K:(node + 1) * K]
+            pos = np.full((K, dp_len), -1, dtype=np.int32)
+            conf = np.zeros((K, dp_len), dtype=np.float32)
+            upto = min(dp_len, len(maps[0]))
+            for k in range(K):
+                pos[k, :upto] = maps[k][:upto]
+            conf[:, :upto] = (pos[:, :upto] >= 0)
+            return pos, conf
+        best = np.full((K, dp_len), -1, dtype=np.int64)
+        agree = np.zeros((K, dp_len), dtype=np.int64)
+        total = np.zeros((K, dp_len), dtype=np.int64)
+        for si in sip[node]:
+            if si >= self.numseq:
+                continue
+            g = np.asarray(gaps[si], dtype=np.int64)
+            L = lens[si]
+            ncols = int(g.sum()) + L
+            col_res = np.full(ncols, -1, dtype=np.int64)
+            res_cols = np.cumsum(g[:-1] + 1) - 1
+            col_res[res_cols] = np.arange(L)
+            col_res = col_res[:dp_len]
+            idx = np.nonzero(col_res >= 0)[0]
+            mstack = np.stack(
+                [self.pos_maps[si * K + k] for k in range(K)])  # [K, L]
+            apos = np.full((K, dp_len), -1, dtype=np.int64)
+            apos[:, idx] = mstack[:, col_res[idx]]
+            has = apos >= 0
+            total += has
+            fresh = (best < 0) & has
+            best[fresh] = apos[fresh]
+            agree += has & (apos == best)
+        ok = (total > 0) & (agree > 0)
+        pos = np.where(ok, best, -1).astype(np.int32)
+        conf = np.zeros((K, dp_len), dtype=np.float32)
+        conf[ok] = agree[ok] / total[ok]
+        return pos, conf
 
     @property
     def per_weight(self) -> np.float32:
