@@ -211,6 +211,21 @@ class TpuEngine:
         if self.mesh is not None and self.mesh.devices.size > 1:
             from kalign_tpu.parallel.mesh import sharded_bucket_step
             n_dev = self.mesh.devices.size
+            from kalign_tpu.tpu.gotoh_pallas import pick_plan as _pp
+            if not _pp(B, rhs.shape[1])[2] and B <= n_dev:
+                # a few VMEM-infeasible giants (e.g. the root merge of
+                # very long profiles): shard each problem's COLUMN axis
+                # over the mesh instead of the batch axis
+                match = np.einsum("blk,bmk->blm", lhs, rhs).astype(np.float32)
+                for k in range(B):
+                    self._add_center_bias(match[k], int(la[k]),
+                                          int(lb[k]), float(eps[k]))
+                if isinstance(bonus, tuple):
+                    bonus = _densify_bonus(bonus, B, lhs.shape[1],
+                                           rhs.shape[1])
+                if bonus is not None:
+                    match += bonus
+                return ("done", self._long_seq_mesh(match, pc, pr, la, lb))
             Bp = max(_pow2_batch(B), n_dev)
             Bp = ((Bp + n_dev - 1) // n_dev) * n_dev  # non-pow2 meshes
             if Bp != B:
@@ -267,7 +282,9 @@ class TpuEngine:
                                       st, score, max_steps)
             return ("packed", packed, max_steps, B)
         # CPU backend / VMEM-infeasible widths: materialize match
-        # host-side, use the HBM-resident XLA scan (synchronous)
+        # host-side, use the HBM-resident XLA scan — or, on a
+        # multi-device mesh, the column-sharded wavefront DP (the
+        # sequence-parallel axis: one huge problem spread over chips)
         match = np.einsum("blk,bmk->blm", lhs, rhs).astype(np.float32)
         for k in range(B):
             self._add_center_bias(match[k], int(la[k]), int(lb[k]),
@@ -277,6 +294,31 @@ class TpuEngine:
         if bonus is not None:
             match += bonus
         return ("done", self._forward_batch(match, pc, pr, la, lb))
+
+    def _long_seq_mesh(self, match, pc, pr, la, lb):
+        """VMEM-infeasible widths on a multi-device mesh: run each
+        problem through the column-sharded pipelined-wavefront DP."""
+        from kalign_tpu.parallel.mesh import sharded_long_gotoh
+        from kalign_tpu.tpu.traceback import traceback_batch
+        B, L1p, L2p = match.shape
+        n_dev = self.mesh.devices.size
+        Wp = ((L2p + n_dev - 1) // n_dev) * n_dev
+        steps_out, scores = [], np.zeros(B, np.float64)
+        for k in range(B):
+            m = match[k]
+            if Wp != L2p:
+                m = np.pad(m, ((0, 0), (0, Wp - L2p)))
+            pck = np.pad(pc[k], ((0, 0), (0, Wp - L2p)))
+            dec, score, st = sharded_long_gotoh(
+                self.mesh, m, pck, pr[k], int(la[k]), int(lb[k]))
+            steps, n = traceback_batch(
+                jnp.asarray(dec[None]), jnp.asarray([int(la[k])]),
+                jnp.asarray([int(lb[k])]), jnp.asarray([st]),
+                L1p + Wp + 2)
+            steps_out.append(
+                np.asarray(steps)[0, :int(np.asarray(n)[0])].astype(np.int8))
+            scores[k] = score
+        return steps_out, scores
 
     def _collect_bucket(self, handle):
         """Fetch + decode a _dispatch_bucket result (one transfer)."""

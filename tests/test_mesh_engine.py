@@ -89,3 +89,23 @@ def test_sharded_long_gotoh_matches_single_device():
         path = np.asarray(steps)[0, :int(np.asarray(n)[0])].tolist()
         assert score == pytest.approx(float(s2), rel=1e-5)
         assert path == ref_path
+
+
+@pytest.mark.skipif(jax.device_count() < 2,
+                    reason="needs a multi-device mesh")
+def test_mesh_engine_long_seq_route(monkeypatch):
+    """VMEM-infeasible widths on a mesh route single giant merges
+    through the column-sharded wavefront DP; alignment must equal the
+    single-device engine's."""
+    import kalign_tpu.tpu.gotoh_pallas as gp
+
+    m1 = kio.read_inputs([os.path.join(DATA, "BB12006.tfa")])
+    m1 = E.align_msa(m1, consistency_anchors=0, engine="tpu")
+    ref_rows = m1.aligned_rows()
+
+    # force every plan infeasible so the mesh engine must take the
+    # sequence-parallel route for small buckets
+    monkeypatch.setattr(gp, "pick_plan", lambda B, W, **kw: (8, 1, False))
+    m2 = kio.read_inputs([os.path.join(DATA, "BB12006.tfa")])
+    m2 = E.align_msa(m2, consistency_anchors=0, engine="tpu-mesh")
+    assert m2.aligned_rows() == ref_rows
