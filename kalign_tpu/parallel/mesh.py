@@ -35,13 +35,8 @@ def make_mesh(n_devices: Optional[int] = None,
         devs = devs[:n_devices]
     n = len(devs)
     if data is None:
-        # favor the data axis; model axis absorbs the rest
-        data = n
-        model = 1
-        for d in (8, 4, 2):
-            if n % d == 0 and n // d > 1:
-                data, model = n // d if n // d >= d else d, 0
-        # simple split: largest power-of-two <= sqrt for model
+        # model = largest power of two <= sqrt(n) that divides n;
+        # the data axis absorbs the rest (favouring data parallelism)
         model = 1
         while (model * 2) * (model * 2) <= n:
             model *= 2
@@ -388,8 +383,17 @@ def sharded_long_gotoh(mesh: Mesh, match, pens_cols, pens_rows, la, lb,
             return (A_new, GA_new, GB_new, inbox, new_inbox, dec,
                     fin_A, fin_GA, fin_GB)
 
+        # start at step 0 so EVERY device (including device 0) runs at
+        # least one inactive step before its first row: that step's
+        # ppermute ships the row-0 init state [NEG, GA0[-1], NEG, NEG]
+        # — GA0[-1] is the finite terminal-gap cumsum at the device's
+        # last column — to the right neighbour, seeding its diagonal
+        # boundary for row 1.  Starting at 1 left device 1's row-1
+        # diagonal halo at the all-NEG pkt0, silently mis-scoring any
+        # path that crosses device 1's first column at row 1 (a leading
+        # column-gap run of exactly Wd columns).
         init = (A0, GA0, GB0, pkt0, pkt0, dec0, A0, GA0, GB0)
-        out = jax.lax.fori_loop(1, L1 + n_dev, body, init)
+        out = jax.lax.fori_loop(0, L1 + n_dev, body, init)
         _, _, _, _, _, dec, fin_A, fin_GA, fin_GB = out
 
         at_end = cols_l == lb_i

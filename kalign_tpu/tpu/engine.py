@@ -81,17 +81,30 @@ def _fused_forward(lhs, rhs, pc, pr, la, lb, bias_eps, bonus, bt,
         lhs, rhs, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)          # [B, L1p, L2p]
     slope = lb.astype(jnp.float32) / jnp.maximum(la.astype(jnp.float32), 1.0)
-    if isinstance(bonus, tuple):
-        per_w, apr, cfr, apc, cfc = bonus
-        acc = jnp.zeros_like(match)
-        for k in range(apr.shape[1]):
-            eq = (apr[:, k, :, None] == apc[:, k, None, :]) & \
-                (apr[:, k, :, None] >= 0)
-            term = (per_w * cfr[:, k, :, None]) * cfc[:, k, None, :]
-            acc = acc + jnp.where(eq, term, 0.0)
-        match = match + acc
-    elif bonus is not None:
-        match = match + bonus
+    if bonus is not None:
+        # with a consistency bonus the host/XLA paths compute
+        # (match - dev*eps) + bonus; apply the bias HERE in that exact
+        # float order (XLA fuses it into the bonus pass) and hand the
+        # kernel a zero bias, so fused and unfused engines agree on
+        # near-ties
+        B, L1p, L2p = match.shape
+        ii = jnp.arange(1, L1p + 1, dtype=jnp.float32)[None, :, None]
+        jj = jnp.arange(1, L2p + 1, dtype=jnp.float32)[None, None, :]
+        dev = jnp.abs(jj - ii * slope[:, None, None])
+        match = match - dev * bias_eps[:, None, None]
+        if isinstance(bonus, tuple):
+            per_w, apr, cfr, apc, cfc = bonus
+            acc = jnp.zeros_like(match)
+            for k in range(apr.shape[1]):
+                eq = (apr[:, k, :, None] == apc[:, k, None, :]) & \
+                    (apr[:, k, :, None] >= 0)
+                term = (per_w * cfr[:, k, :, None]) * cfc[:, k, None, :]
+                acc = acc + jnp.where(eq, term, 0.0)
+            match = match + acc
+        else:
+            match = match + bonus
+        slope = jnp.zeros_like(slope)
+        bias_eps = jnp.zeros_like(bias_eps)
     return gotoh_forward_pallas(match, pc, pr, la, lb, bt=bt,
                                 rows_per_step=rows_per_step,
                                 with_dec=with_dec,

@@ -134,6 +134,8 @@ def unpack_traceback(packed: np.ndarray, max_steps: int):
     """Host-side decode of traceback_packed's layout."""
     steps = packed[:, :max_steps]
     hdr = packed[:, max_steps:].copy()
-    n = hdr[:, :4].view(np.int32)[:, 0]
-    score = hdr[:, 4:].view(np.float32)[:, 0]
+    # bitcast_convert_type packs little-endian bytes; decode with
+    # explicit LE dtypes so a big-endian host doesn't read garbage
+    n = hdr[:, :4].view("<i4")[:, 0]
+    score = hdr[:, 4:].view("<f4")[:, 0]
     return steps, n, score

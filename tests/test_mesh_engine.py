@@ -109,3 +109,52 @@ def test_mesh_engine_long_seq_route(monkeypatch):
     m2 = kio.read_inputs([os.path.join(DATA, "BB12006.tfa")])
     m2 = E.align_msa(m2, consistency_anchors=0, engine="tpu-mesh")
     assert m2.aligned_rows() == ref_rows
+
+
+@pytest.mark.skipif(jax.device_count() < 2,
+                    reason="needs a multi-device mesh")
+def test_sharded_long_gotoh_leading_gap_run_boundary():
+    """Regression: an optimal path whose leading column-gap run is
+    exactly W/n_dev columns crosses device 1's first column at row 1 —
+    that cell's only finite diagonal predecessor is device 0's ROW-0
+    boundary state (the terminal-gap cumsum), which the wavefront must
+    ship via an inactive step-0 ppermute.  Before the fix the sharded
+    score silently lost that predecessor."""
+    import jax.numpy as jnp
+    from kalign_tpu.parallel.mesh import make_mesh, sharded_long_gotoh
+    from kalign_tpu.tpu import gotoh
+    from kalign_tpu.tpu.traceback import traceback_batch
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    W = 16 * n_dev
+    Wd = W // n_dev
+    la = 24
+    lb = W
+    # diagonal reward band starting exactly at device 1's first column
+    match = np.full((la, W), -10.0, np.float32)
+    for i in range(la):
+        match[i, Wd + i] = 50.0
+    pc = np.zeros((3, W + 1), np.float32)
+    pc[0, :] = -8.0   # gap open
+    pc[1, :] = -4.0   # gap extend
+    pc[2, :] = -0.5   # terminal gap extend (cheap leading run)
+    pr = np.zeros((3, la + 1), np.float32)
+    pr[0, :] = -8.0
+    pr[1, :] = -4.0
+    pr[2, :] = -0.5
+
+    dec, score, st = sharded_long_gotoh(mesh, match, pc, pr, la, lb)
+    d2, s2, st2 = gotoh.gotoh_forward(
+        jnp.asarray(match), jnp.asarray(pc[0]), jnp.asarray(pc[1]),
+        jnp.asarray(pc[2]), jnp.asarray(pr[0]), jnp.asarray(pr[1]),
+        jnp.asarray(pr[2]), la, lb)
+    ref_path = gotoh.traceback(np.asarray(d2), la, lb, int(st2))
+    steps, n = traceback_batch(jnp.asarray(dec[None]),
+                               jnp.asarray([la]), jnp.asarray([lb]),
+                               jnp.asarray([st]), la + W + 2)
+    path = np.asarray(steps)[0, :int(np.asarray(n)[0])].tolist()
+    assert score == pytest.approx(float(s2), rel=1e-6)
+    assert path == ref_path
+    # the constructed optimum really has the leading run of Wd gaps
+    assert path[:Wd] == [1] * Wd and path[Wd] == 0
