@@ -40,6 +40,8 @@ from kalign_tpu.api import (
     generate_test_sequences,
     set_num_threads,
     get_num_threads,
+    compare_with_mask,
+    post_realign,
 )
 
 __all__ = [
@@ -49,6 +51,8 @@ __all__ = [
     "align_file_to_file",
     "compare",
     "compare_detailed",
+    "compare_with_mask",
+    "post_realign",
     "write_alignment",
     "read_alignment",
     "generate_test_sequences",

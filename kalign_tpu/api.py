@@ -293,12 +293,63 @@ def compare(reference, test, ref_names=None, test_names=None) -> float:
 
 
 def compare_detailed(reference, test, ref_names=None, test_names=None,
-                     max_gap_frac: float = 1.0):
+                     max_gap_frac: float = 1.0, column_mask=None):
+    """Detailed recall/precision/F1/TC scoring.  ``column_mask``
+    (optional list/array of 0/1 per reference column, mirrors
+    ``kalign_msa_compare_with_mask``, kalign.h:107 / msa_cmp.c:449-480)
+    overrides the gap-fraction core-column rule; its length must equal
+    the reference alignment length."""
     ref_rows, ref_names = _rows_arg(reference, ref_names)
     test_rows, test_names = _rows_arg(test, test_names)
     from kalign_tpu.core.cmp import msa_compare_detailed
     return msa_compare_detailed(ref_rows, test_rows, ref_names, test_names,
-                                max_gap_frac)
+                                max_gap_frac, scored_cols=column_mask)
+
+
+def compare_with_mask(reference, test, column_mask,
+                      ref_names=None, test_names=None):
+    """Explicit-column-mask comparison (``kalign_msa_compare_with_mask``,
+    msa_cmp.c:449-480): score only reference columns whose mask entry is
+    truthy.  Raises ValueError when the mask length doesn't match the
+    reference alignment length, like the reference's ASSERT."""
+    return compare_detailed(reference, test, ref_names, test_names,
+                            column_mask=column_mask)
+
+
+def post_realign(msa_or_path, out_path: Optional[str] = None,
+                 out_format: str = "fasta", seq_type=None,
+                 gap_open: float = -1.0, gap_extend: float = -1.0,
+                 terminal_gap_extend: float = -1.0,
+                 refine=None, adaptive_budget: int = 0,
+                 dist_scale: float = 0.0, vsm_amax: float = -1.0,
+                 realign_iterations: int = 1, use_seq_weights: float = -1.0,
+                 n_threads: Optional[int] = None,
+                 engine: Optional[str] = None) -> Msa:
+    """Realign an existing alignment in place (``kalign_post_realign``,
+    kalign.h:73 / aln_wrap.c:539-669): rebuild the guide tree from
+    alignment-derived identity distances and re-run the progressive
+    pass, keeping the established alignment as the starting point.
+
+    Accepts an ``Msa`` or a path to an aligned file; writes to
+    ``out_path`` when given and always returns the realigned Msa."""
+    import os as _os
+    if isinstance(msa_or_path, str):
+        msa = kio.read_alignment(msa_or_path)
+    else:
+        msa = msa_or_path
+    msa = _engine.post_realign_msa(
+        msa, n_threads=n_threads or get_num_threads(),
+        type_=_resolve_type(seq_type),
+        gpo=gap_open, gpe=gap_extend, tgpe=terminal_gap_extend,
+        refine=_REFINE_NAMES[refine] if not isinstance(refine, int)
+        else refine,
+        adaptive_budget=adaptive_budget, dist_scale=dist_scale,
+        vsm_amax=vsm_amax, realign_iterations=realign_iterations,
+        use_seq_weights=use_seq_weights,
+        engine=engine or _os.environ.get("KALIGN_TPU_ENGINE", "host"))
+    if out_path is not None:
+        kio.write_alignment_file(msa, out_path, out_format)
+    return msa
 
 
 def _rows_arg(arg, names):

@@ -73,6 +73,11 @@ def build_parser():
     p.add_argument("--realign", type=int, default=0)
     p.add_argument("--vsm-amax", type=float, default=-1.0)
     p.add_argument("-n", "--nthreads", type=int, default=1)
+    p.add_argument("--set", dest="param_set", type=int, default=-1,
+                   help="parameter-set id (parsed for reference CLI "
+                        "compatibility; unused, run_kalign.c:158,206)")
+    p.add_argument("--showw", action="store_true",
+                   help="print the warranty disclaimer and exit")
     p.add_argument("-q", "--quiet", action="store_true")
     p.add_argument("-v", "-V", "--version", action="store_true", dest="version")
     p.add_argument("--engine", default=os.environ.get("KALIGN_TPU_ENGINE", "host"),
@@ -89,6 +94,20 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.version:
         print(f"kalign-tpu {__version__} (kalign {KALIGN_COMPAT_VERSION} compatible)")
+        return 0
+    if args.showw:
+        # run_kalign.c:306-310 / run_reformat.c:58-73
+        print("Disclaimer of Warranty (Apache License, Version 2.0, "
+              "Section 7):\n\n"
+              "Unless required by applicable law or agreed to in writing, "
+              "Licensor\nprovides the Work (and each Contributor provides "
+              "its Contributions)\non an \"AS IS\" BASIS, WITHOUT "
+              "WARRANTIES OR CONDITIONS OF ANY KIND,\neither express or "
+              "implied, including, without limitation, any\nwarranties or "
+              "conditions of TITLE, NON-INFRINGEMENT,\nMERCHANTABILITY, or "
+              "FITNESS FOR A PARTICULAR PURPOSE.\n\n"
+              "See the COPYING file for the full Apache License, "
+              "Version 2.0.")
         return 0
 
     infiles = list(args.infile or []) + list(args.files)

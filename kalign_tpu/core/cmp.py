@@ -110,7 +110,11 @@ def msa_compare_detailed(ref_rows: List[str], test_rows: List[str],
             gap_frac = 1.0 - rmask.sum(axis=0) / float(n)
             scored = gap_frac.astype(np.float32) <= np.float32(max_gap_frac)
     else:
-        scored = np.asarray(scored_cols, dtype=bool)
+        scored = np.asarray(scored_cols).astype(bool)
+        if scored.shape[0] != alnlen_r:
+            raise ValueError(
+                "Mask length (%d) != reference alignment length (%d)"
+                % (scored.shape[0], alnlen_r))
 
     ref_scored_pairs = 0
     test_pairs = 0

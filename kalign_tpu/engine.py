@@ -265,3 +265,70 @@ def align_msa(msa: Msa, n_threads: int = 1, type_: int = 0,
     msa.sort_rank()
     msa.task_confidence = conf
     return msa
+
+
+def post_realign_msa(msa: Msa, n_threads: int = 1, type_: int = 0,
+                     gpo: float = -1.0, gpe: float = -1.0, tgpe: float = -1.0,
+                     refine: int = P.REFINE_NONE, adaptive_budget: int = 0,
+                     dist_scale: float = 0.0, vsm_amax: float = -1.0,
+                     realign_iterations: int = 1,
+                     use_seq_weights: float = -1.0,
+                     engine: str = "host") -> Msa:
+    """Realign an EXISTING alignment without redoing the BPM-distance
+    guide tree: rebuild the tree from alignment-derived pairwise
+    identity each iteration and re-run the progressive pass
+    (``kalign_post_realign``, aln_wrap.c:539-669, kalign.h:73).
+
+    Unlike ``align_msa`` the input must already be aligned; row order
+    is preserved (restored to input rank at the end) and no length/name
+    sort happens."""
+    if realign_iterations < 1:
+        raise ValueError("Need at least 1 realign iteration")
+    if msa.aligned not in (2, 3):  # ALIGNED or FINAL
+        raise ValueError("post_realign requires an aligned MSA")
+    eng = get_engine(engine, n_threads)
+    quiet = msa.quiet
+
+    if msa.biotype == 2:  # BIOTYPE_UNDEF
+        msa.detect_alphabet()
+    ap = resolve_params(msa, type_, gpo, gpe, tgpe, n_threads)
+    ap.adaptive_budget = adaptive_budget
+    if use_seq_weights >= 0.0:
+        ap.use_seq_weights = use_seq_weights
+    ap.dist_scale = dist_scale
+    if vsm_amax >= 0.0:
+        ap.vsm_amax = vsm_amax
+
+    inline_mode = P.REFINE_INLINE if refine == P.REFINE_INLINE else P.REFINE_NONE
+    log("Post-realign (%d iterations, vsm_amax=%.2f)"
+        % (realign_iterations, ap.vsm_amax), quiet)
+    conf = None
+    with timer("Post-realign", quiet):
+        for it in range(realign_iterations):
+            if msa.aligned != 3:  # not FINAL yet
+                msa.finalise()
+            dm = eng.aln_pairwise_dist(msa.aligned_rows())
+            msa.strip_gaps()
+            if msa.biotype == BIOTYPE_DNA:
+                _encoded(msa, alpha.ALPHA_DEFAULT_DNA)
+            else:
+                _encoded(msa, alpha.ALPHA_AMBIGUOUS_PROTEIN)
+            msa.set_sip_nsip()
+            tasks, seq_dist = eng.build_tree_pairwise(dm)
+            msa.seq_distances = seq_dist
+            last = it == realign_iterations - 1
+            mode = refine if (last and refine in (P.REFINE_ALL,
+                                                  P.REFINE_CONFIDENT)) \
+                else inline_mode
+            codes = [sq.s for sq in msa.sequences]
+            gaps, conf = eng.align(codes, tasks, ap, msa.seq_distances,
+                                   refine_mode=mode,
+                                   cons_seq_distances=msa.seq_distances)
+            for sq, g in zip(msa.sequences, gaps):
+                sq.gaps = g
+            msa.aligned = ALN_STATUS_ALIGNED
+
+    msa.finalise()
+    msa.sort_rank()
+    msa.task_confidence = conf
+    return msa

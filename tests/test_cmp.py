@@ -4,7 +4,7 @@ library's kalign_msa_compare / kalign_msa_compare_detailed)."""
 import os
 from kalign_tpu.core import io as kio
 from kalign_tpu.core.cmp import msa_compare, msa_compare_detailed
-from conftest import GOLDEN
+from conftest import DATA, GOLDEN
 
 
 def _rows(path):
@@ -32,3 +32,38 @@ def test_compare_values_vs_reference():
     assert abs(d.precision - 0.828335) < 1e-5
     assert abs(d.f1 - 0.867085) < 1e-5
     assert abs(d.tc - 0.800000) < 1e-5
+
+
+def test_compare_with_mask_vs_reference():
+    """kalign_msa_compare_with_mask differential (msa_cmp.c:449-480):
+    expected tuples computed with the reference library via ctypes."""
+    import numpy as np
+    import kalign_tpu
+    ref = os.path.join(DATA, "BB11001.msf")
+    test = os.path.join(GOLDEN, "BB11001.default.afa")
+    rrows, _ = _rows(ref)
+    alnlen = len(rrows[0])
+
+    mask = np.array([1 if i % 3 == 0 else 0 for i in range(alnlen)])
+    d = kalign_tpu.compare_with_mask(ref, test, mask)
+    assert abs(d.recall - 0.9216867469879518) < 1e-12
+    assert abs(d.precision - 0.9318181818181818) < 1e-12
+    assert abs(d.f1 - 0.9267247747082287) < 1e-12
+    assert abs(d.tc - 0.8333333333333334) < 1e-12
+    assert (d.ref_pairs, d.test_pairs, d.common) == (332, 968, 306)
+
+    mask = np.array([1] * (alnlen // 2) + [0] * (alnlen - alnlen // 2))
+    d = kalign_tpu.compare_with_mask(ref, test, mask)
+    assert abs(d.recall - 0.9367088607594937) < 1e-12
+    assert abs(d.precision - 0.9318181818181818) < 1e-12
+    assert abs(d.tc - 0.8837209302325582) < 1e-12
+    assert (d.ref_pairs, d.test_pairs, d.common) == (474, 968, 444)
+
+
+def test_compare_with_mask_length_check():
+    import pytest
+    import kalign_tpu
+    ref = os.path.join(DATA, "BB11001.msf")
+    test = os.path.join(GOLDEN, "BB11001.default.afa")
+    with pytest.raises(ValueError):
+        kalign_tpu.compare_with_mask(ref, test, [1, 0, 1])
