@@ -79,7 +79,64 @@ def lib() -> ctypes.CDLL:
 
     L.kt_aln_pairwise_dist.restype = None
     L.kt_aln_pairwise_dist.argtypes = [_i8p, ctypes.c_int32, ctypes.c_int32, _f32p]
+
+    # --- single-merge differential oracle (kt_single.cpp) ---
+    L.kt_run_align_single.restype = ctypes.c_int32
+    L.kt_run_align_single.argtypes = [
+        ctypes.c_int32,                                  # mode
+        ctypes.c_void_p, ctypes.c_void_p,                # seq1, seq2
+        ctypes.c_void_p, ctypes.c_void_p,                # prof1, prof2
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # len_a, len_b, sip
+        _f32p, ctypes.c_float, ctypes.c_float, ctypes.c_float,  # subm, g*
+        ctypes.c_float,                                  # soff
+        ctypes.c_void_p, ctypes.c_int64,                 # bonus, bstride
+        ctypes.c_float, ctypes.c_int32, ctypes.c_int32,  # flip thr/trial/stride
+        ctypes.c_uint32,                                 # flip_mask
+        _i32p, _f32p,                                    # path_out, info_out
+    ]
+    L.kt_leaf_profile.restype = None
+    L.kt_leaf_profile.argtypes = [
+        _f32p, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        _i8p, ctypes.c_int32, _f32p,
+    ]
+    L.kt_scale_gaps.restype = None
+    L.kt_scale_gaps.argtypes = [_f32p, ctypes.c_int32, ctypes.c_int32]
+    L.kt_merge_profiles.restype = ctypes.c_int32
+    L.kt_merge_profiles.argtypes = [
+        _f32p, _f32p, _f32p, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        _i32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_float, _f32p,
+    ]
+
+    # --- pluggable DP backend ---
+    L.kt_set_dp_hook.restype = None
+    L.kt_set_dp_hook.argtypes = [ctypes.c_void_p]
     return L
+
+
+# DP-hook callback prototype (kt_api.h kt_dp_fn).  Raw pointers; the
+# Python side wraps them with np.ctypeslib.as_array at known sizes.
+DP_HOOK_TYPE = ctypes.CFUNCTYPE(
+    ctypes.c_int32,
+    ctypes.c_int32,                                  # mode
+    ctypes.c_void_p, ctypes.c_void_p,                # seq1, seq2
+    ctypes.c_void_p, ctypes.c_void_p,                # prof1, prof2
+    ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # len_a, len_b, sip
+    ctypes.c_void_p,                                 # subm
+    ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,  # g*, soff
+    ctypes.c_void_p, ctypes.c_int64,                 # bonus, bstride
+    ctypes.c_float, ctypes.c_int32, ctypes.c_int32,  # flip thr/trial/stride
+    ctypes.c_void_p, ctypes.c_void_p,                # path_out, info_out
+    ctypes.c_void_p, ctypes.c_int32,                 # margins_out, margins_cap
+)
+
+
+def set_dp_hook(cb):
+    """Install a DP_HOOK_TYPE callback (or None to clear).  The caller
+    must keep a reference to the callback object alive while set."""
+    if cb is None:
+        lib().kt_set_dp_hook(None)
+    else:
+        lib().kt_set_dp_hook(ctypes.cast(cb, ctypes.c_void_p))
 
 
 def flatten_seqs(codes_list):

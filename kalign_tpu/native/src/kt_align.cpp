@@ -27,6 +27,35 @@ namespace {
 
 constexpr int kRefineTrials = 5; /* REFINE_N_TRIALS (aln_refine.c:20) */
 
+/* Pluggable DP backend (kt_api.h).  When set, every full-path alignment
+ * (merges and consistency pairwise maps) goes through it instead of the
+ * in-process Hirschberg; orchestration stays here. */
+kt_dp_fn g_dp_hook = nullptr;
+int g_dp_error = 0;
+
+void invoke_dp(AlnMem& m) {
+  /* bitmap/mask flip modes are not part of the hook ABI (unused by this
+     driver); keep them on the native path. */
+  if (!g_dp_hook || m.flip_bit_map || m.flip_mask) {
+    run_align(m);
+    return;
+  }
+  if (g_dp_error) return;
+  int mode = m.seq1 ? 0 : (m.prof2 ? 2 : 1);
+  float info[2] = {0.0f, 0.0f};
+  int rc = g_dp_hook(mode, m.seq1, m.seq2, m.prof1, m.prof2, m.len_a, m.len_b,
+                     m.sip, m.pr->subm, m.pr->gpo, m.pr->gpe, m.pr->tgpe,
+                     m.pr->soff, m.bonus, m.bstride, m.flip_threshold,
+                     m.flip_trial, m.flip_stride, m.path.data(), info,
+                     m.flip_margins, m.flip_margin_alloc);
+  if (rc != 0) {
+    g_dp_error = 1;
+    return;
+  }
+  m.margin_sum = info[0];
+  m.margin_count = (int)info[1];
+}
+
 struct ConsistencyTable {
   int K = 0;
   int numseq = 0;
@@ -251,7 +280,7 @@ struct Engine {
           mem.seq2 = seqs[b];
           mem.prof1 = nullptr;
           mem.prof2 = nullptr;
-          run_align(mem);
+          invoke_dp(mem);
         } else {
           mem.enda = len_b;
           mem.endb = len_a;
@@ -261,7 +290,7 @@ struct Engine {
           mem.seq2 = seqs[a];
           mem.prof1 = nullptr;
           mem.prof2 = nullptr;
-          run_align(mem);
+          invoke_dp(mem);
           mirror_path(mem, len_a, len_b);
           mem.len_a = len_a;
           mem.len_b = len_b;
@@ -276,7 +305,7 @@ struct Engine {
         mem.prof1 = profiles[b].data();
         mem.prof2 = nullptr;
         mem.sip = nsip[b];
-        run_align(mem);
+        invoke_dp(mem);
         mirror_path(mem, len_a, len_b);
         mem.len_a = len_a;
         mem.len_b = len_b;
@@ -288,14 +317,14 @@ struct Engine {
         mem.prof1 = profiles[a].data();
         mem.prof2 = nullptr;
         mem.sip = nsip[a];
-        run_align(mem);
+        invoke_dp(mem);
       } else {
         if (len_a < len_b) {
           mem.seq1 = nullptr;
           mem.seq2 = nullptr;
           mem.prof1 = profiles[a].data();
           mem.prof2 = profiles[b].data();
-          run_align(mem);
+          invoke_dp(mem);
         } else {
           mem.enda = len_b;
           mem.endb = len_a;
@@ -305,7 +334,7 @@ struct Engine {
           mem.seq2 = nullptr;
           mem.prof1 = profiles[b].data();
           mem.prof2 = profiles[a].data();
-          run_align(mem);
+          invoke_dp(mem);
           mirror_path(mem, len_a, len_b);
           mem.len_a = len_a;
           mem.len_b = len_b;
@@ -710,7 +739,7 @@ struct Engine {
         pm.prof1 = nullptr;
         pm.prof2 = nullptr;
         pm.init_window();
-        run_align(pm);
+        invoke_dp(pm);
         if (swapped) {
           mirror_path(pm, len_i, len_j);
           pm.len_a = len_i;
@@ -801,9 +830,10 @@ extern "C" int32_t kt_align_msa(const uint8_t* flat, const int64_t* off,
      guarantee children precede parents when sorted by c).  Edges within
      one tree level touch disjoint nodes and run in parallel (the
      reference's OpenMP task recursion, aln_run.c:65-109). */
+  kt::g_dp_error = 0;
   if (refine_mode == 3) {
     for (int t = 0; t < n_tasks; t++) eng.align_edge_inline(t, 3);
-  } else if (n_threads <= 1) {
+  } else if (n_threads <= 1 || kt::g_dp_hook != nullptr) {
     for (int t = 0; t < n_tasks; t++) eng.align_edge(t);
   } else {
     std::vector<int> level(2 * numseq - 1, 0);
@@ -860,5 +890,10 @@ extern "C" int32_t kt_align_msa(const uint8_t* flat, const int64_t* off,
     }
   }
   for (int t = 0; t < n_tasks; t++) conf_out[t] = eng.confidence[t];
-  return 0;
+  return kt::g_dp_error ? -1 : 0;
+}
+
+extern "C" void kt_set_dp_hook(kt_dp_fn fn) {
+  kt::g_dp_hook = fn;
+  kt::g_dp_error = 0;
 }

@@ -82,6 +82,39 @@ int32_t kt_align_msa(const uint8_t* flat, const int64_t* off,
                      int32_t refine_mode, int32_t adaptive_budget,
                      int32_t* gaps_out, float* conf_out, int32_t n_threads);
 
+/* ---- pluggable DP backend ---------------------------------------------- */
+
+/* Replace the Hirschberg DP of every merge / consistency pairwise
+ * alignment with an external backend (the TPU wavefront engine) while
+ * keeping all orchestration (profiles, scaling, consistency tables,
+ * refinement, flip bookkeeping) in this library.  The callback must
+ * reproduce run_align's semantics exactly:
+ *   mode       : 0 residuesxresidues, 1 profilexresidues, 2 profilexprofile
+ *   seq1/seq2  : encoded residues (mode 0: both; mode 1: seq2 only)
+ *   prof1/prof2: 64-float-per-column profiles with boundary blocks
+ *                ((len+2)*64 floats; mode 1: prof1 only; mode 2: both)
+ *   path_out   : len_a+2 ints, raw Hirschberg path (path[i] = matched
+ *                column of row i, -1 for gap rows), pre-set to -1
+ *   info_out   : [0] meetup margin sum, [1] meetup margin count
+ *   margins_out: optional per-meetup margins in recursion (DFS) order,
+ *                up to margins_cap entries (adaptive refine budget)
+ * Returns 0 on success; nonzero aborts the alignment. */
+typedef int32_t (*kt_dp_fn)(int32_t mode, const uint8_t* seq1,
+                            const uint8_t* seq2, const float* prof1,
+                            const float* prof2, int32_t len_a, int32_t len_b,
+                            int32_t sip, const float* subm, float gpo,
+                            float gpe, float tgpe, float soff,
+                            const float* bonus, int64_t bstride,
+                            float flip_threshold, int32_t flip_trial,
+                            int32_t flip_stride, int32_t* path_out,
+                            float* info_out, float* margins_out,
+                            int32_t margins_cap);
+
+/* Install (or clear, with NULL) the DP backend.  While set, kt_align_msa
+ * runs single-threaded and routes every full-path alignment through the
+ * callback. */
+void kt_set_dp_hook(kt_dp_fn fn);
+
 /* POAR consensus column assignment (union-find + cycle-safe topo sort,
  * consensus_msa.c:372-554).  Candidates are pre-filtered by min_support
  * in (pair, key) order; counting sort by descending support happens
