@@ -102,7 +102,7 @@ def main(argv=None):
         "tests", "data"))
     p.add_argument("--mode", default="default",
                    choices=["default", "fast", "precise"])
-    p.add_argument("--engine", default="host", choices=["host", "tpu"])
+    p.add_argument("--engine", default="host", choices=["host", "tpu", "tpu-fast"])
     p.add_argument("--threads", type=int, default=1)
     p.add_argument("--throughput", action="store_true")
     p.add_argument("--json", action="store_true")

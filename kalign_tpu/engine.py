@@ -8,8 +8,14 @@ Mirrors the orchestration of ``kalign_run_seeded`` / ``kalign_run_realign``
   -> [refine] -> [realign iterations] -> finalise -> restore rank order
 
 Engines:
-  * "host": native C++ exact engine (default; bit-identical to reference)
-  * "tpu":  JAX/Pallas engine (distance matrix + DP on device)
+  * "host":     native C++ exact engine (default; bit-identical to the
+                reference binary)
+  * "tpu":      bit-exact device engine — native orchestration with all
+                Hirschberg DP on the accelerator (tpu/exact.py); also
+                column-identical to the reference
+  * "tpu-fast": throughput engine (Pallas kernels, level-batched
+                merges); score-equivalent, may differ on ties
+  * "tpu-mesh": tpu-fast sharded over a device mesh
 """
 
 from typing import List, Optional
@@ -119,13 +125,62 @@ class HostEngine:
         return dm.reshape(n, n)
 
 
+class ExactTpuEngine(HostEngine):
+    """Bit-exact device engine: the native runtime orchestrates
+    (profiles, consistency, refinement, flip bookkeeping) and every
+    Hirschberg DP — merges and consistency pairwise maps — runs on the
+    accelerator through the DP hook (tpu/exact.py segmented wavefront).
+    Produces column-identical alignments to the reference; the anchor
+    distance matrix also runs on device when one is available."""
+
+    def __init__(self, n_threads: int = 1):
+        super().__init__(n_threads=n_threads)
+        from kalign_tpu.tpu.exact import ExactDpBackend
+        self.backend = ExactDpBackend()
+
+    def anchor_distances(self, codes, anchors):
+        import jax
+        if jax.default_backend() == "cpu":
+            # native BPM is bit-identical and faster than jax-on-CPU
+            return super().anchor_distances(codes, anchors)
+        from kalign_tpu.parallel.mesh import make_mesh, \
+            sharded_anchor_distances
+        n = len(codes)
+        lens = np.array([len(c) for c in codes], np.int32)
+        Lmax = max(1, int(lens.max()))
+        tokens = np.zeros((n, Lmax), np.uint8)
+        for i, c in enumerate(codes):
+            tokens[i, :len(c)] = c
+        dm = sharded_anchor_distances(make_mesh(), tokens, lens,
+                                      list(anchors))
+        stride = ((len(anchors) + 7) // 8) * 8
+        out = np.zeros((n, stride), dtype=np.float32)
+        out[:, :len(anchors)] = dm
+        return out
+
+    def align(self, codes, tasks, ap, seq_distances, refine_mode=0,
+              cons_seq_distances=None):
+        self.backend.install()
+        try:
+            return super().align(codes, tasks, ap, seq_distances,
+                                 refine_mode=refine_mode,
+                                 cons_seq_distances=cons_seq_distances)
+        finally:
+            self.backend.uninstall()
+
+
 def get_engine(name: str = "host", n_threads: int = 1, mesh=None):
-    """'host' = native C++ core; 'tpu' = device engine; 'tpu-mesh' =
-    device engine with merge buckets sharded over ALL visible devices
-    (jax.sharding.Mesh; pass mesh= to control the layout)."""
+    """'host' = native C++ core; 'tpu' = bit-exact device engine (DP on
+    the accelerator, column-identical to the reference); 'tpu-fast' =
+    throughput-oriented device engine (score-equivalent, may differ on
+    equal-score ties); 'tpu-mesh' = tpu-fast with merge buckets sharded
+    over ALL visible devices (jax.sharding.Mesh; pass mesh= to control
+    the layout)."""
     if name == "host":
         return HostEngine(n_threads=n_threads)
     if name == "tpu":
+        return ExactTpuEngine(n_threads=n_threads)
+    if name == "tpu-fast":
         from kalign_tpu.tpu.engine import TpuEngine
         return TpuEngine(n_threads=n_threads, mesh=mesh)
     if name == "tpu-mesh":

@@ -1,0 +1,735 @@
+"""Bit-exact device DP for the TPU engine.
+
+Reproduces the reference Hirschberg meet-in-the-middle alignment
+(/root/reference/lib/src/aln_controller.c:21-436, aln_seqseq.c,
+aln_seqprofile.c, aln_profileprofile.c) with the O(L^2) sweep work on
+the accelerator:
+
+  * Every recursion depth packs its (row-disjoint) forward/backward
+    windows into one "segmented" anti-diagonal wavefront launch of a
+    fixed padded shape.  Cell (i, j) depends on (i-1, j-1), (i-1, j)
+    and (i, j-1) only, and the wavefront computes each cell with the
+    same scalar float operation order as the reference row sweep, so
+    the produced states are bit-identical.  (The log-depth scan engine
+    in tpu/gotoh.py is NOT bit-exact: it reassociates the gap chains.)
+  * The meetup combine (aln_seqseq.c:241-419) + margin/flip
+    bookkeeping and the recursion control run on the host in exact
+    float32 — they are O(L) per depth.
+
+The module is driven through the native runtime's DP hook
+(kt_set_dp_hook): the C++ driver keeps orchestrating profiles,
+consistency tables, distance scaling and refinement, and calls back
+here for every full-path alignment.
+"""
+
+import ctypes
+
+import numpy as np
+
+NEG = np.float32(-3.4028234663852886e38)  # -FLT_MAX, as the reference uses
+
+_f32p = ctypes.POINTER(ctypes.c_float)
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+
+
+def _jax():
+    import jax
+    import jax.numpy as jnp
+    return jax, jnp
+
+
+# --------------------------------------------------------------------
+# device kernel: segmented anti-diagonal wavefront sweep
+# --------------------------------------------------------------------
+#
+# One launch sweeps a (VR, C+1) grid of "virtual rows" x global columns.
+# Each Hirschberg window occupies a band of virtual rows: one init row
+# (the reference's pre-loop boundary initialization) followed by its
+# processed rows.  All per-cell penalties arrive as per-row / per-column
+# ADDENDS (x - gpe and x + (-gpe) are identical IEEE ops), which unifies
+# the residuesxresidues / profilexresidues / profilexprofile sweeps and
+# the forward/backward directions (the host builds backward plans in
+# column-reversed coordinates).
+
+def _sweep_one(is_init, is_final, active, startq, endq, init_tg, start_tg,
+               end_tg, seedA, seedGA, seedGB, gb_ext, gb_open, gb_tg, dgb,
+               ga_ext_p, ga_open_p, ga_tg_p, dga_p, match, bonus, p1cnt,
+               p2sub_p, win_slot, VR, C, Wmax, use_chain):
+    """Sweep a single (VR, C+1) grid.  *_p column arrays arrive reversed
+    and padded with VR zeros on each side so that the values at
+    j = d - vr (vr = 0..VR-1) are one dynamic slice per step."""
+    jax, jnp = _jax()
+    lax = jax.lax
+
+    vr_idx = jnp.arange(VR, dtype=jnp.int32)
+    D = VR + C + 1
+    neg = jnp.float32(NEG)
+
+    def shift1(x):
+        # index vr-1 with NEG fill (vr=0 has no up-neighbor)
+        return jnp.concatenate([jnp.full((1,), neg, x.dtype), x[:-1]])
+
+    def colvals(arr_pad, d):
+        # arr_pad = pad(arr[::-1], VR both sides); arr[d - vr] at lane vr
+        return lax.dynamic_slice(arr_pad, (C - d + VR,), (VR,))
+
+    def step(d, carry):
+        A1, GA1, GB1, A2, GA2, GB2, out = carry
+        jv = d - vr_idx                                   # (VR,)
+        jc = jnp.clip(jv, 0, C)
+        inwin = active & (jv >= startq) & (jv <= endq)
+
+        A_l, GA_l = A1, GA1                               # (vr, j-1)
+        A_u, GA_u, GB_u = shift1(A1), shift1(GA1), shift1(GB1)  # (vr-1, j)
+        A_d, GA_d, GB_d = shift1(A2), shift1(GA2), shift1(GB2)  # (vr-1, j-1)
+
+        ga_ext = colvals(ga_ext_p, d)
+        ga_open = colvals(ga_open_p, d)
+        ga_tg = colvals(ga_tg_p, d)
+        dga = colvals(dga_p, d)
+        match_d = jnp.take_along_axis(match, jc[:, None], axis=1)[:, 0]
+        bonus_d = jnp.take_along_axis(bonus, jc[:, None], axis=1)[:, 0]
+
+        at_start = jv == startq
+        at_end = jv == endq
+
+        # ---- init rows (reference pre-loop boundary init) ----
+        ga_chain = jnp.maximum(GA_l + ga_ext, A_l + ga_open)
+        ga_chain_tg = jnp.maximum(GA_l, A_l) + ga_tg
+        iA = jnp.where(at_start, seedA, neg)
+        iGA = jnp.where(at_start, seedGA,
+                        jnp.where(at_end, neg,
+                                  jnp.where(init_tg, ga_chain_tg, ga_chain)))
+        iGB = jnp.where(at_start, seedGB, neg)
+
+        # ---- processed rows ----
+        a_int = jnp.maximum(jnp.maximum(A_d, GA_d + dga), GB_d + dgb)
+        if use_chain:
+            # profilexprofile match: sequential mul-add chain in
+            # descending residue order (aln_profileprofile.c:114-117);
+            # zero-count terms add +-0.0 which never changes a value
+            # that subsequent comparisons can distinguish.
+            p2sub_d = lax.dynamic_slice(
+                p2sub_p, (C - d + VR, 0), (VR, 23))       # (VR, 23)
+            for c in range(22, -1, -1):
+                a_int = a_int + p1cnt[:, c] * p2sub_d[:, c]
+        else:
+            a_int = a_int + match_d
+        a_int = a_int + bonus_d
+        pA = jnp.where(at_start, neg, a_int)
+        pGA = jnp.where(at_start | at_end, neg, ga_chain)
+        gb_std = jnp.maximum(GB_u + gb_ext, A_u + gb_open)
+        gb_tgv = jnp.maximum(GB_u, A_u) + gb_tg
+        pGB = jnp.where(at_start,
+                        jnp.where(start_tg, gb_tgv, gb_std),
+                        jnp.where(at_end,
+                                  jnp.where(end_tg, gb_tgv, gb_std),
+                                  gb_std))
+
+        nA = jnp.where(inwin, jnp.where(is_init, iA, pA), neg)
+        nGA = jnp.where(inwin, jnp.where(is_init, iGA, pGA), neg)
+        nGB = jnp.where(inwin, jnp.where(is_init, iGB, pGB), neg)
+
+        # capture band-final rows into the per-window output
+        fin = is_final & inwin
+        vals = jnp.stack([nA, nGA, nGB], axis=-1)         # (VR, 3)
+        vals = jnp.where(fin[:, None], vals, -jnp.inf)
+        slot = jnp.where(fin, win_slot, Wmax)
+        out = out.at[slot, jc].max(vals)
+
+        return nA, nGA, nGB, A1, GA1, GB1, out
+
+    init = jnp.full((VR,), neg)
+    out0 = jnp.full((Wmax + 1, C + 1, 3), -jnp.inf, dtype=jnp.float32)
+    carry = (init, init, init, init, init, init, out0)
+    carry = lax.fori_loop(0, D, step, carry)
+    return carry[6][:Wmax]
+
+
+_SWEEP_CACHE = {}
+
+
+def _sweep_batch(shape_key):
+    """jitted, vmapped-over-grids sweep for a static shape bucket."""
+    if shape_key in _SWEEP_CACHE:
+        return _SWEEP_CACHE[shape_key]
+    jax, _ = _jax()
+    VR, C, Wmax, use_chain = shape_key
+
+    def one(plan):
+        return _sweep_one(
+            plan["is_init"], plan["is_final"], plan["active"],
+            plan["startq"], plan["endq"], plan["init_tg"], plan["start_tg"],
+            plan["end_tg"], plan["seedA"], plan["seedGA"], plan["seedGB"],
+            plan["gb_ext"], plan["gb_open"], plan["gb_tg"], plan["dgb"],
+            plan["ga_ext_p"], plan["ga_open_p"], plan["ga_tg_p"],
+            plan["dga_p"], plan["match"], plan["bonus"], plan["p1cnt"],
+            plan["p2sub_p"], plan["win_slot"], VR, C, Wmax, use_chain)
+
+    fn = jax.jit(jax.vmap(one))
+    _SWEEP_CACHE[shape_key] = fn
+    return fn
+
+
+# --------------------------------------------------------------------
+# host side: one hook invocation = one Hirschberg recursion
+# --------------------------------------------------------------------
+
+class _Win:
+    """One recursion window (aln_controller.c window state)."""
+    __slots__ = ("sa", "ea", "sb", "eb", "fs", "bs", "mid",
+                 "children", "margin", "has2")
+
+    def __init__(self, sa, ea, sb, eb, fs, bs):
+        self.sa, self.ea, self.sb, self.eb = sa, ea, sb, eb
+        self.fs, self.bs = fs, bs      # forward / backward seeds (A, GA, GB)
+        self.mid = sa + (ea - sa) // 2
+        self.children = ()
+        self.margin = None             # np.float32 when max2 > -FLT_MAX
+        self.has2 = False
+
+
+def _pow2(n):
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def _two_max(s):
+    """Exact replica of MeetState::offer's strict-> two-max scan
+    (kt_gotoh.cpp / aln_seqseq.c:241-419) over the flattened offer
+    sequence, in closed form: the winner is the first global argmax;
+    the runner-up is the last value to occupy max2, which is either the
+    best strict prefix record before the winner (demoted at the winner)
+    or the first later occurrence of the second-best value."""
+    m1 = s.max()
+    if not (m1 > NEG):
+        return NEG, -1, NEG, -1
+    i1 = int(np.argmax(s))
+    rest = s.copy()
+    rest[i1] = -np.inf
+    m2 = rest.max()
+    if not (m2 > NEG):
+        return m1, i1, np.float32(NEG), -1
+    if i1 > 0 and s[:i1].max() == m2:
+        i2 = int(np.argmax(s[:i1]))
+    else:
+        i2 = i1 + 1 + int(np.argmax(rest[i1 + 1:]))
+    return m1, i1, np.float32(m2), i2
+
+
+_TRANS = (1, 2, 3, 5, 6, 7)
+
+
+class ExactAligner:
+    """Drives one merge's meet-in-the-middle recursion with batched
+    device wavefront sweeps.  All float scalar work (meetup, margins,
+    flips) is numpy float32 matching the reference op order."""
+
+    def __init__(self, mode, seq1, seq2, prof1, prof2, len_a, len_b, sip,
+                 subm, gpo, gpe, tgpe, soff, bonus,
+                 flip_threshold=0.0, flip_trial=0, flip_stride=1):
+        import jax.numpy as jnp  # noqa: F401  (ensure jax importable)
+        self.mode = mode
+        self.la, self.lb = len_a, len_b
+        self.flip_threshold = np.float32(flip_threshold)
+        self.flip_trial = int(flip_trial)
+        self.flip_stride = max(int(flip_stride), 1)
+        self.flip_counter = 0
+        self.margins = []              # (preorder) per-node margins
+
+        la, lb = len_a, len_b
+        gpo, gpe, tgpe = np.float32(gpo), np.float32(gpe), np.float32(tgpe)
+        soff = np.float32(soff)
+        self.gpo, self.gpe, self.tgpe = gpo, gpe, tgpe
+
+        C = lb  # grid columns 0..C
+        self.C = C
+        self.Cpad = _pow2(C + 1) - 1   # kernel C (cols 0..Cpad)
+        self.VR = _pow2(max((la + 1) // 2 + 2, 8))
+        self.Wmax = self.VR
+        self.use_chain = mode == 2
+
+        z = np.zeros
+        f32 = np.float32
+        # ---- match / bonus matrices in grid coordinates ----
+        if mode == 0:
+            s1 = np.frombuffer(seq1, dtype=np.uint8, count=la) \
+                if isinstance(seq1, bytes) else seq1
+            s2 = seq2
+            se = (subm.astype(f32) - soff).astype(f32)
+            core = se[s1][:, s2]                      # (la, lb)
+            mF = z((la, C + 1), f32)
+            mF[:, 1:] = core
+            mB = z((la, C + 1), f32)
+            mB[:, :lb] = core
+        elif mode == 1:
+            P1 = prof1.reshape(la + 2, 64)
+            s2 = seq2
+            sub_rows = P1[1:la + 1, 32:55]
+            mF = z((la, C + 1), f32)
+            mF[:, 1:] = sub_rows[:, s2]
+            mB = z((la, C + 1), f32)
+            mB[:, :lb] = sub_rows[:, s2]
+        else:
+            P1 = prof1.reshape(la + 2, 64)
+            P2 = prof2.reshape(lb + 2, 64)
+            mF = z((la, 1), f32)       # unused in chain mode
+            mB = z((la, 1), f32)
+        self.matchF = mF
+        self.matchB_r = mB[:, ::-1].copy() if mode != 2 else mB
+
+        if bonus is not None:
+            bg = bonus[(np.arange(la)[:, None] * lb +
+                        np.arange(C + 1)[None, :]).ravel()].reshape(la, C + 1)
+        else:
+            bg = z((la, C + 1), f32)
+        self.bonusF = bg
+        self.bonusB_r = bg[:, ::-1].copy()
+
+        # ---- per-row addends (global row i) ----
+        if mode == 0:
+            self.gb_ext = np.full(la, -gpe, f32)
+            self.gb_open = np.full(la, -gpo, f32)
+            self.gb_tg = np.full(la, -tgpe, f32)
+            self.dgbF = np.full(la, -gpo, f32)
+            self.dgbB = np.full(la, -gpo, f32)
+        else:
+            self.gb_ext = P1[1:la + 1, 28].copy()
+            self.gb_open = P1[1:la + 1, 27].copy()
+            self.gb_tg = P1[1:la + 1, 29].copy()
+            self.dgbF = P1[0:la, 27].copy()
+            self.dgbB = P1[2:la + 2, 27].copy()
+        # pp match chain rows
+        if mode == 2:
+            self.p1cnt_g = P1[1:la + 1, 0:23].copy()
+            p2F = z((C + 1, 23), f32)
+            p2F[:lb + 1] = P2[0:lb + 1, 32:55]
+            p2B = z((C + 1, 23), f32)
+            p2B[:lb + 1] = P2[1:lb + 2, 32:55]
+            self.p2subF = p2F
+            self.p2subB_r = p2B[::-1].copy()
+        else:
+            self.p1cnt_g = z((la, 23), f32)
+            self.p2subF = z((1, 23), f32)
+            self.p2subB_r = z((1, 23), f32)
+
+        # ---- per-column addends in grid coordinates ----
+        jj = np.arange(C + 1)
+        if mode == 0:
+            open_c = gpo
+            ext_c = gpe
+            tg_c = tgpe
+            caF = (np.full(C + 1, -ext_c, f32), np.full(C + 1, -open_c, f32),
+                   np.full(C + 1, -tg_c, f32), np.full(C + 1, -gpo, f32))
+            caB = caF
+        elif mode == 1:
+            op = f32(gpo * np.float32(sip))
+            ex = f32(gpe * np.float32(sip))
+            tx = f32(tgpe * np.float32(sip))
+            caF = (np.full(C + 1, -ex, f32), np.full(C + 1, -op, f32),
+                   np.full(C + 1, -tx, f32), np.full(C + 1, -op, f32))
+            caB = caF
+        else:
+            gaF_ext = P2[jj, 28].astype(f32)
+            gaF_open = P2[jj, 27].astype(f32)
+            gaF_tg = P2[jj, 29].astype(f32)
+            dgaF = z(C + 1, f32)
+            dgaF[1:] = P2[jj[1:] - 1, 27]
+            jb1 = np.minimum(jj + 1, lb + 1)
+            jb2 = np.minimum(jj + 2, lb + 1)
+            gaB_ext = P2[jb1, 28].astype(f32)
+            gaB_open = P2[jb1, 27].astype(f32)
+            gaB_tg = P2[jb1, 29].astype(f32)
+            dgaB = P2[jb2, 27].astype(f32)
+            caF = (gaF_ext, gaF_open, gaF_tg, dgaF)
+            caB = (gaB_ext, gaB_open, gaB_tg, dgaB)
+        # backward arrays live in reversed grid coordinates q = lb - j
+        self.colsF = caF
+        self.colsB = tuple(a[::-1].copy() for a in caB)
+
+        # meet transition addends
+        if mode == 0:
+            self.t2v = np.full(C + 1, -gpo, f32)
+            self.t5v = np.full(C + 1, -gpo, f32)
+        elif mode == 1:
+            self.t2v = np.full(C + 1, -f32(gpo * np.float32(sip)), f32)
+            self.t5v = np.full(C + 1, -f32(gpo * np.float32(sip)), f32)
+        else:
+            self.t2v = P2[np.minimum(jj + 1, lb + 1), 27].astype(f32)
+            self.t5v = P2[jj, 27].astype(f32)
+        if mode == 0:
+            self.P1rows = None
+        else:
+            self.P1rows = P1
+
+    # -- per-window meet addends that depend on mid --
+    def _trans_adds(self, w):
+        if self.mode == 0:
+            t3 = -self.gpo
+            t7 = -self.gpo
+            t6_in = -self.tgpe if w.sb == 0 else -self.gpe
+            t6_end = -self.tgpe if w.eb == self.lb else -self.gpe
+        else:
+            P1 = self.P1rows
+            t3 = P1[w.mid + 1, 27]
+            t7 = P1[w.mid, 27]
+            t6_in = P1[w.mid + 1, 29] if w.sb == 0 else P1[w.mid + 1, 28]
+            t6_end = P1[w.mid + 1, 29] if w.eb == self.lb else P1[w.mid + 1, 28]
+        return (np.float32(t3), np.float32(t7), np.float32(t6_in),
+                np.float32(t6_end))
+
+    # ---------------- plan building ----------------
+
+    def _build_plans(self, wins):
+        """Build the stacked (2, ...) fwd+bwd plan for a window chunk."""
+        VR, C, Wmax = self.VR, self.Cpad, self.Wmax
+        lb = self.lb
+        f32, i32 = np.float32, np.int32
+
+        def empty_grid():
+            return dict(
+                is_init=np.zeros(VR, bool), is_final=np.zeros(VR, bool),
+                active=np.zeros(VR, bool),
+                startq=np.zeros(VR, i32), endq=np.full(VR, -1, i32),
+                init_tg=np.zeros(VR, bool), start_tg=np.zeros(VR, bool),
+                end_tg=np.zeros(VR, bool),
+                seedA=np.zeros(VR, f32), seedGA=np.zeros(VR, f32),
+                seedGB=np.zeros(VR, f32),
+                gb_ext=np.zeros(VR, f32), gb_open=np.zeros(VR, f32),
+                gb_tg=np.zeros(VR, f32), dgb=np.zeros(VR, f32),
+                match=np.zeros((VR, C + 1), f32),
+                bonus=np.zeros((VR, C + 1), f32),
+                p1cnt=np.zeros((VR, 23), f32),
+                win_slot=np.full(VR, Wmax, i32),
+            )
+
+        def fill(grid, direction):
+            vr = 0
+            for slot, w in enumerate(wins):
+                if direction == "f":
+                    ra, rb = w.sa, w.mid
+                    startq, endq = w.sb, w.eb
+                    seeds = w.fs
+                    init_tg = w.sb == 0
+                    start_tg = w.sb == 0
+                    end_tg = w.eb == lb
+                    rows = np.arange(ra, rb)
+                else:
+                    ra, rb = w.mid, w.ea
+                    startq, endq = lb - w.eb, lb - w.sb
+                    seeds = w.bs
+                    init_tg = w.eb == lb
+                    start_tg = w.eb == lb
+                    end_tg = w.sb == 0
+                    rows = np.arange(rb - 1, ra - 1, -1)
+                R = rb - ra
+                band = slice(vr, vr + R + 1)
+                grid["active"][band] = True
+                grid["startq"][band] = startq
+                grid["endq"][band] = endq
+                grid["is_init"][vr] = True
+                grid["init_tg"][band] = init_tg
+                grid["start_tg"][band] = start_tg
+                grid["end_tg"][band] = end_tg
+                grid["seedA"][vr] = seeds[0]
+                grid["seedGA"][vr] = seeds[1]
+                grid["seedGB"][vr] = seeds[2]
+                grid["is_final"][vr + R] = True
+                grid["win_slot"][vr + R] = slot
+                if R:
+                    rs = slice(vr + 1, vr + R + 1)
+                    grid["gb_ext"][rs] = self.gb_ext[rows]
+                    grid["gb_open"][rs] = self.gb_open[rows]
+                    grid["gb_tg"][rs] = self.gb_tg[rows]
+                    if direction == "f":
+                        grid["dgb"][rs] = self.dgbF[rows]
+                        if self.mode != 2:
+                            grid["match"][rs, :self.C + 1] = self.matchF[rows]
+                        else:
+                            grid["p1cnt"][rs] = self.p1cnt_g[rows]
+                        grid["bonus"][rs, :self.C + 1] = self.bonusF[rows]
+                    else:
+                        grid["dgb"][rs] = self.dgbB[rows]
+                        if self.mode != 2:
+                            grid["match"][rs, :self.C + 1] = \
+                                self.matchB_r[rows]
+                        else:
+                            grid["p1cnt"][rs] = self.p1cnt_g[rows]
+                        grid["bonus"][rs, :self.C + 1] = self.bonusB_r[rows]
+                vr += R + 1
+            return grid
+
+        gf = fill(empty_grid(), "f")
+        gb = fill(empty_grid(), "b")
+
+        def colpack(cols, grid_cols):
+            out = []
+            for a in cols:
+                full = np.zeros(C + 1, np.float32)
+                full[:a.shape[0]] = a
+                out.append(np.concatenate(
+                    [np.zeros(VR, np.float32), full[::-1],
+                     np.zeros(VR, np.float32)]))
+            return out
+        caF = colpack(self.colsF, C)
+        caB = colpack(self.colsB, C)
+        for g, ca in ((gf, caF), (gb, caB)):
+            g["ga_ext_p"], g["ga_open_p"], g["ga_tg_p"], g["dga_p"] = ca
+
+        def subpack(p2):
+            full = np.zeros((C + 1, 23), np.float32)
+            full[:p2.shape[0]] = p2
+            return np.concatenate(
+                [np.zeros((VR, 23), np.float32), full[::-1],
+                 np.zeros((VR, 23), np.float32)], axis=0)
+        gf["p2sub_p"] = subpack(self.p2subF)
+        gb["p2sub_p"] = subpack(self.p2subB_r)
+
+        return {k: np.stack([gf[k], gb[k]]) for k in gf}
+
+    def _run_chunk(self, wins):
+        import jax.numpy as jnp
+        plans = self._build_plans(wins)
+        key = (self.VR, self.Cpad, self.Wmax, self.use_chain)
+        fn = _sweep_batch(key)
+        out = np.asarray(fn({k: jnp.asarray(v) for k, v in plans.items()}))
+        lb = self.lb
+        res = []
+        for slot, w in enumerate(wins):
+            fst = out[0, slot][:lb + 1]           # global-j indexed
+            bst = out[1, slot][:lb + 1][::-1]     # un-reverse q -> j
+            res.append((fst, bst))
+        return res
+
+
+    # ---------------- meetup (exact float32, host) ----------------
+
+    def _meet_window(self, w, fst, bst):
+        """aln_*_meetup + finish_meet (kt_gotoh.cpp meet_rr/meet_pr/
+        meet_pp) for one window; returns (meet_col, transition)."""
+        sb, eb = w.sb, w.eb
+        middle = np.float32(
+            np.float32(eb - sb) / np.float32(2.0) + np.float32(sb))
+        thousand = np.float32(1000.0)
+
+        np_err = np.seterr(over="ignore")  # -FLT_MAX sums overflow to
+        # -inf exactly as the reference C does; restore state below.
+        fa, fga, fgb = fst[sb:eb, 0], fst[sb:eb, 1], fst[sb:eb, 2]
+        ba, bga, bgb = bst[sb:eb, 0], bst[sb:eb, 1], bst[sb:eb, 2]
+        idx = np.arange(sb, eb, dtype=np.float32)
+        sub = np.abs(middle - idx) / thousand
+        t3, t7, t6_in, t6_end = self._trans_adds(w)
+        n = eb - sb
+        S = np.empty((n, 6), np.float32)
+        S[:, 0] = (fa + ba) - sub
+        S[:, 1] = ((fa + bga) + self.t2v[sb:eb]) - sub
+        S[:, 2] = ((fa + bgb) + t3) - sub
+        S[:, 3] = ((fga + ba) + self.t5v[sb:eb]) - sub
+        S[:, 4] = ((fgb + bgb) + t6_in) - sub
+        S[:, 5] = ((fgb + ba) + t7) - sub
+        sub_e = np.abs(middle - np.float32(eb)) / thousand
+        f3 = ((fst[eb, 0] + bst[eb, 2]) + t3) - sub_e
+        f6 = ((fst[eb, 2] + bst[eb, 2]) + t6_end) - sub_e
+        flat = np.concatenate([S.ravel(), np.float32([f3, f6])])
+
+        np.seterr(**np_err)
+        m1, i1, m2, i2 = _two_max(flat)
+
+        def decode(k):
+            if k < 0:
+                return -1, -1
+            if k < 6 * n:
+                return sb + k // 6, _TRANS[k % 6]
+            return eb, (3 if k == 6 * n else 6)
+
+        c, tr = decode(i1)
+        if i2 >= 0:                      # st.max2 > -FLT_MAX
+            margin = np.float32(m1 - m2)
+            w.margin = margin
+            w.has2 = True
+        if self.flip_threshold > 0.0 and i2 >= 0:
+            margin = np.float32(m1 - m2)
+            if margin < self.flip_threshold:
+                if self.flip_trial > 0 and (
+                        self.flip_counter % self.flip_stride
+                        == self.flip_trial - 1):
+                    c, tr = decode(i2)
+                self.flip_counter += 1
+        return c, tr
+
+    # ---------------- recursion (continue_align table) ----------------
+
+    def _spawn(self, w, c, tr):
+        """Child windows + raw-path writes (aln_controller.c:194-436)."""
+        Z, N = np.float32(0.0), NEG
+        path = self.path
+        mid = w.mid
+        sa, ea, sb, eb, fs, bs = w.sa, w.ea, w.sb, w.eb, w.fs, w.bs
+        if tr == 1:
+            path[mid] = c
+            path[mid + 1] = c + 1
+            L = _Win(sa, mid - 1, sb, c - 1, fs, (Z, N, N))
+            R = _Win(mid + 1, ea, c + 1, eb, (Z, N, N), bs)
+        elif tr == 2:
+            path[mid] = c
+            L = _Win(sa, mid - 1, sb, c - 1, fs, (Z, N, N))
+            R = _Win(mid, ea, c + 1, eb, (N, Z, N), bs)
+        elif tr == 3:
+            path[mid] = c
+            L = _Win(sa, mid - 1, sb, c - 1, fs, (Z, N, N))
+            R = _Win(mid + 1, ea, c, eb, (N, N, Z), bs)
+        elif tr == 5:
+            path[mid + 1] = c + 1
+            L = _Win(sa, mid, sb, c - 1, fs, (N, Z, N))
+            R = _Win(mid + 1, ea, c + 1, eb, (Z, N, N), bs)
+        elif tr == 6:
+            L = _Win(sa, mid - 1, sb, c, fs, (N, N, Z))
+            R = _Win(mid + 1, ea, c, eb, (N, N, Z), bs)
+        elif tr == 7:
+            path[mid + 1] = c + 1
+            L = _Win(sa, mid - 1, sb, c, fs, (N, N, Z))
+            R = _Win(mid + 1, ea, c + 1, eb, (Z, N, N), bs)
+        else:
+            return ()
+        w.children = (L, R)
+        return (L, R)
+
+    @staticmethod
+    def _live(w):
+        return w.sa < w.ea and w.sb < w.eb
+
+    def _chunks(self, wins):
+        """Pack windows so each chunk's fwd and bwd bands fit in VR."""
+        out, cur, sf, sb_, = [], [], 0, 0
+        for w in wins:
+            rf = (w.mid - w.sa) + 1
+            rb = (w.ea - w.mid) + 1
+            if cur and (sf + rf > self.VR or sb_ + rb > self.VR
+                        or len(cur) >= self.Wmax):
+                out.append(cur)
+                cur, sf, sb_ = [], 0, 0
+            cur.append(w)
+            sf += rf
+            sb_ += rb
+        if cur:
+            out.append(cur)
+        return out
+
+    def run(self, path_out):
+        """Full recursion; returns (margin_sum, margin_count, margins)."""
+        self.path = path_out
+        Z = np.float32(0.0)
+        top = _Win(0, self.la, 0, self.lb, (Z, NEG, NEG), (Z, NEG, NEG))
+        flips = self.flip_threshold > 0.0 and self.flip_trial > 0
+        if flips:
+            # flip_counter consumes low-margin meets in recursion (DFS
+            # preorder) order — sequential by construction.
+            stack = [top]
+            while stack:
+                w = stack.pop()
+                if not self._live(w):
+                    continue
+                ((fst, bst),) = self._run_chunk([w])
+                c, tr = self._meet_window(w, fst, bst)
+                kids = self._spawn(w, c, tr)
+                stack.extend(reversed(kids))
+        else:
+            frontier = [top] if self._live(top) else []
+            while frontier:
+                nxt = []
+                for chunk in self._chunks(frontier):
+                    res = self._run_chunk(chunk)
+                    for w, (fst, bst) in zip(chunk, res):
+                        c, tr = self._meet_window(w, fst, bst)
+                        for k in self._spawn(w, c, tr):
+                            if self._live(k):
+                                nxt.append(k)
+                frontier = nxt
+        # margin bookkeeping in DFS preorder (finish_meet accumulation
+        # order in the reference recursion)
+        msum = np.float32(0.0)
+        mlist = []
+        stack = [top]
+        while stack:
+            w = stack.pop()
+            if w.has2:
+                mlist.append(w.margin)
+                msum = np.float32(msum + w.margin)
+            stack.extend(reversed(w.children))
+        return msum, len(mlist), mlist
+
+
+# --------------------------------------------------------------------
+# native-driver hook adapter
+# --------------------------------------------------------------------
+
+class ExactDpBackend:
+    """DP_HOOK_TYPE adapter: receives raw pointers from the native
+    driver, wraps them as numpy views, and runs ExactAligner."""
+
+    def __init__(self):
+        self._cb = None
+        self.calls = 0
+        self.last_error = None
+
+    def callback(self):
+        from kalign_tpu import native
+        if self._cb is None:
+            self._cb = native.DP_HOOK_TYPE(self._call)
+        return self._cb
+
+    def install(self):
+        from kalign_tpu import native
+        native.set_dp_hook(self.callback())
+
+    @staticmethod
+    def uninstall():
+        from kalign_tpu import native
+        native.set_dp_hook(None)
+
+    def _call(self, mode, seq1, seq2, prof1, prof2, len_a, len_b, sip,
+              subm, gpo, gpe, tgpe, soff, bonus, bstride,
+              flip_threshold, flip_trial, flip_stride,
+              path_out, info_out, margins_out, margins_cap):
+        try:
+            self.calls += 1
+            la, lb = int(len_a), int(len_b)
+
+            def u8(ptr, n):
+                return np.ctypeslib.as_array(
+                    ctypes.cast(ptr, _u8p), shape=(n,))
+
+            def f32(ptr, n):
+                return np.ctypeslib.as_array(
+                    ctypes.cast(ptr, _f32p), shape=(n,))
+
+            s1 = u8(seq1, la) if mode == 0 else None
+            s2 = u8(seq2, lb) if mode != 2 else None
+            p1 = f32(prof1, (la + 2) * 64) if mode != 0 else None
+            p2 = f32(prof2, (lb + 2) * 64) if mode == 2 else None
+            sm = f32(subm, 529).reshape(23, 23) if mode == 0 else None
+            bon = f32(bonus, la * lb + 1) if bonus else None
+
+            aln = ExactAligner(mode, s1, s2, p1, p2, la, lb, int(sip),
+                               sm, gpo, gpe, tgpe, soff, bon,
+                               flip_threshold, flip_trial, flip_stride)
+            path = np.ctypeslib.as_array(
+                ctypes.cast(path_out, _i32p), shape=(la + 2,))
+            msum, mcount, mlist = aln.run(path)
+            info = f32(info_out, 2)
+            info[0] = msum
+            info[1] = np.float32(mcount)
+            if margins_out and margins_cap > 0:
+                marr = f32(margins_out, margins_cap)
+                k = min(len(mlist), int(margins_cap))
+                marr[:k] = mlist[:k]
+            return 0
+        except Exception as e:  # pragma: no cover - debugging aid
+            import traceback
+            self.last_error = traceback.format_exc()
+            print("ExactDpBackend error:", e)
+            print(self.last_error)
+            return 1

@@ -1,0 +1,96 @@
+"""Differential tests for the bit-exact device DP (tpu/exact.py) against
+the native single-merge oracle (kt_run_align_single): identical raw
+paths and meetup margin statistics across all three operand modes, with
+consistency bonuses, VSM offsets and flip perturbation.
+
+Reference semantics: aln_controller.c:21-436, aln_seqseq.c:241-419."""
+
+import numpy as np
+import pytest
+
+import kalign_tpu.native as native
+from kalign_tpu.core import params as P
+from kalign_tpu.tpu.exact import ExactAligner
+
+
+@pytest.fixture(scope="module")
+def setup():
+    L = native.lib()
+    ap = P.aln_param_init(P.BIOTYPE_PROTEIN, P.KALIGN_TYPE_PROTEIN,
+                          -1.0, -1.0, -1.0, 1)
+    subm = np.ascontiguousarray(ap.subm.astype(np.float32).reshape(-1))
+    return L, subm, (np.float32(ap.gpo), np.float32(ap.gpe),
+                     np.float32(ap.tgpe))
+
+
+def _leaf(L, subm, g, seq):
+    out = np.zeros((len(seq) + 2) * 64, np.float32)
+    L.kt_leaf_profile(subm, g[0], g[1], g[2], seq, len(seq), out)
+    return out
+
+
+def _merged(L, subm, g, rng, n):
+    a = rng.integers(0, 23, n).astype(np.uint8)
+    b = rng.integers(0, 23, n).astype(np.uint8)
+    steps = np.zeros(n + 2, np.int32)
+    steps[0] = n
+    steps[n + 1] = 3
+    out = np.zeros((n + 2) * 64, np.float32)
+    L.kt_merge_profiles(_leaf(L, subm, g, a), _leaf(L, subm, g, b),
+                        subm, g[0], g[1], g[2], steps, 1, 1, 0.0, out)
+    return out
+
+
+@pytest.mark.parametrize("mode", [0, 1, 2])
+def test_exact_matches_native_oracle(setup, mode):
+    L, subm, g = setup
+    gpo, gpe, tgpe = g
+    rng = np.random.default_rng(42 + mode)
+    for trial in range(12):
+        la = int(rng.integers(1 if mode == 0 else 2, 50))
+        lb = int(rng.integers(la, 70))
+        s1 = s2 = p1 = p2 = None
+        s1p = s2p = p1p = p2p = None
+        sip = 0
+        if mode == 0:
+            s1 = rng.integers(0, 23, la).astype(np.uint8)
+            s2 = rng.integers(0, 23, lb).astype(np.uint8)
+            s1p, s2p = s1.ctypes.data, s2.ctypes.data
+        else:
+            p1 = _merged(L, subm, g, rng, la)
+            L.kt_scale_gaps(p1, la, 2 if mode == 2 else 1)
+            p1p = p1.ctypes.data
+            if mode == 1:
+                s2 = rng.integers(0, 23, lb).astype(np.uint8)
+                s2p = s2.ctypes.data
+                sip = 2
+            else:
+                p2 = _merged(L, subm, g, rng, lb)
+                L.kt_scale_gaps(p2, lb, 2)
+                p2p = p2.ctypes.data
+        soff = np.float32(rng.choice([0.0, 0.9]))
+        bonus = bptr = None
+        if trial % 3 == 0:
+            bonus = (rng.random(la * lb + 1) * 0.5).astype(np.float32)
+            bptr = bonus.ctypes.data
+        if trial % 4 == 3:
+            fthr, ftr, fstr = np.float32(2.5), 1 + trial % 3, 4
+        else:
+            fthr, ftr, fstr = np.float32(0.0), 0, 1
+
+        path_ref = np.full(max(la, lb) + 2, -1, np.int32)
+        info_ref = np.zeros(3, np.float32)
+        L.kt_run_align_single(mode, s1p, s2p, p1p, p2p, la, lb, sip,
+                              subm, gpo, gpe, tgpe, soff, bptr, lb,
+                              fthr, ftr, fstr, 0, path_ref, info_ref)
+
+        aln = ExactAligner(mode, s1, s2, p1, p2, la, lb, sip,
+                           subm.reshape(23, 23) if mode == 0 else None,
+                           gpo, gpe, tgpe, soff, bonus, fthr, ftr, fstr)
+        path_tpu = np.full(la + 2, -1, np.int32)
+        msum, mcount, _ = aln.run(path_tpu)
+
+        assert np.array_equal(path_ref[:la + 2], path_tpu), \
+            f"path mismatch mode={mode} trial={trial}"
+        assert np.float32(msum) == info_ref[0]
+        assert mcount == int(info_ref[1])

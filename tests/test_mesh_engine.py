@@ -19,7 +19,7 @@ def test_mesh_engine_matches_single_device():
     """engine='tpu-mesh' (merge batch sharded over all devices) must
     produce the same alignment as the single-device TPU engine."""
     m1 = kio.read_inputs([os.path.join(DATA, "BB30014.tfa")])
-    m1 = E.align_msa(m1, consistency_anchors=5, engine="tpu")
+    m1 = E.align_msa(m1, consistency_anchors=5, engine="tpu-fast")
     m2 = kio.read_inputs([os.path.join(DATA, "BB30014.tfa")])
     m2 = E.align_msa(m2, consistency_anchors=5, engine="tpu-mesh")
     assert m1.aligned_rows() == m2.aligned_rows()
@@ -100,7 +100,7 @@ def test_mesh_engine_long_seq_route(monkeypatch):
     import kalign_tpu.tpu.gotoh_pallas as gp
 
     m1 = kio.read_inputs([os.path.join(DATA, "BB12006.tfa")])
-    m1 = E.align_msa(m1, consistency_anchors=0, engine="tpu")
+    m1 = E.align_msa(m1, consistency_anchors=0, engine="tpu-fast")
     ref_rows = m1.aligned_rows()
 
     # force every plan infeasible so the mesh engine must take the

@@ -42,6 +42,34 @@ def test_column_identical(inp, gold, kw):
     assert out == ref
 
 
+# The bit-exact device engine (engine="tpu": native orchestration, all
+# Hirschberg DP via the tpu/exact.py segmented wavefront) must hit the
+# same byte-parity bar.  The four large cases take 70-150 s each on the
+# CPU test backend and run under -m slow (all 13 verified identical).
+_TPU_FAST_N = 9
+
+
+@pytest.mark.parametrize("inp,gold,kw", CASES[:_TPU_FAST_N],
+                         ids=[c[1] for c in CASES[:_TPU_FAST_N]])
+def test_column_identical_tpu_engine(inp, gold, kw):
+    msa = kio.read_inputs([os.path.join(DATA, inp)])
+    msa = E.align_msa(msa, engine="tpu", **kw)
+    out = kio.write_fasta(msa)
+    ref = open(os.path.join(GOLDEN, gold)).read()
+    assert out == ref
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("inp,gold,kw", CASES[_TPU_FAST_N:],
+                         ids=[c[1] for c in CASES[_TPU_FAST_N:]])
+def test_column_identical_tpu_engine_large(inp, gold, kw):
+    msa = kio.read_inputs([os.path.join(DATA, inp)])
+    msa = E.align_msa(msa, engine="tpu", **kw)
+    out = kio.write_fasta(msa)
+    ref = open(os.path.join(GOLDEN, gold)).read()
+    assert out == ref
+
+
 def test_msf_input_matches_fasta_input():
     a = kio.read_inputs([os.path.join(DATA, "BB11001.tfa")])
     b = kio.read_inputs([os.path.join(DATA, "BB11001.msf")])

@@ -115,7 +115,7 @@ def test_balibase_quality_close_to_host(bb):
     m_h = kio.read_inputs([os.path.join(DATA, f"{bb}.tfa")])
     m_h = E.align_msa(m_h, consistency_anchors=0, vsm_amax=0.0)
     m_t = kio.read_inputs([os.path.join(DATA, f"{bb}.tfa")])
-    m_t = E.align_msa(m_t, consistency_anchors=0, vsm_amax=0.0, engine="tpu")
+    m_t = E.align_msa(m_t, consistency_anchors=0, vsm_amax=0.0, engine="tpu-fast")
     d_h = msa_compare_detailed(gr, m_h.aligned_rows(), gn,
                                [s.name for s in m_h.sequences], 0.2)
     d_t = msa_compare_detailed(gr, m_t.aligned_rows(), gn,
@@ -128,7 +128,7 @@ def test_balibase_quality_close_to_host(bb):
 @pytest.mark.parametrize("refine", [0, 1, 2, 3])
 def test_tpu_refine_modes_run(refine):
     m = kio.read_inputs([os.path.join(DATA, "BB12006.tfa")])
-    m = E.align_msa(m, consistency_anchors=5, refine=refine, engine="tpu")
+    m = E.align_msa(m, consistency_anchors=5, refine=refine, engine="tpu-fast")
     rows = m.aligned_rows()
     assert len(set(len(r) for r in rows)) == 1
 
@@ -141,7 +141,7 @@ def test_tpu_default_mode_quality(bb):
     m_h = kio.read_inputs([os.path.join(DATA, f"{bb}.tfa")])
     m_h = E.align_msa(m_h, consistency_anchors=5)
     m_t = kio.read_inputs([os.path.join(DATA, f"{bb}.tfa")])
-    m_t = E.align_msa(m_t, consistency_anchors=5, engine="tpu")
+    m_t = E.align_msa(m_t, consistency_anchors=5, engine="tpu-fast")
     d_h = msa_compare_detailed(gr, m_h.aligned_rows(), gn,
                                [s.name for s in m_h.sequences], 0.2)
     d_t = msa_compare_detailed(gr, m_t.aligned_rows(), gn,
@@ -153,7 +153,7 @@ def test_tpu_default_mode_quality(bb):
 def test_tpu_invariants():
     m = kio.read_inputs([os.path.join(DATA, "BB11001.tfa")])
     originals = {s.name: s.seq for s in m.sequences}
-    m = E.align_msa(m, consistency_anchors=5, engine="tpu")
+    m = E.align_msa(m, consistency_anchors=5, engine="tpu-fast")
     rows = m.aligned_rows()
     assert len(set(len(r) for r in rows)) == 1
     for sq in m.sequences:
