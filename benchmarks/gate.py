@@ -1,0 +1,73 @@
+"""Accuracy/time regression gate (the reference CI's alert semantics:
+.github/workflows/benchmark.yml:104-131 — fail when a tracked metric
+regresses more than the tolerance vs the committed baseline).
+
+    python -m benchmarks.gate results.json benchmarks/baseline.json \
+        [--tolerance 0.05] [--update]
+
+Gated metrics: per-category mean SP and TC (lower is worse) and total
+wall time (higher is worse; gated at 2x tolerance because CI machines
+are noisy).  --update rewrites the baseline from the results file.
+"""
+
+import argparse
+import json
+import sys
+
+
+def compare(results, baseline, tolerance):
+    failures = []
+    base_cats = {c["category"]: c for c in baseline.get("categories", [])}
+    for cat in results.get("categories", []):
+        b = base_cats.get(cat["category"])
+        if b is None:
+            continue
+        for metric in ("mean_sp", "mean_tc"):
+            cur, ref = cat[metric], b[metric]
+            if ref > 0 and cur < ref * (1.0 - tolerance):
+                failures.append(
+                    f"{cat['category']}: {metric} {cur:.4f} < "
+                    f"{ref:.4f} - {tolerance:.0%}")
+    bs = baseline.get("summary", {})
+    rs = results.get("summary", {})
+    if bs.get("total_wall_s") and rs.get("total_wall_s"):
+        if rs["total_wall_s"] > bs["total_wall_s"] * (1.0 + 2 * tolerance):
+            failures.append(
+                f"total_wall_s {rs['total_wall_s']} > "
+                f"{bs['total_wall_s']} + {2 * tolerance:.0%}")
+    return failures
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="benchmarks.gate")
+    p.add_argument("results")
+    p.add_argument("baseline")
+    p.add_argument("--tolerance", type=float, default=0.05)
+    p.add_argument("--update", action="store_true",
+                   help="rewrite the baseline from the results file")
+    args = p.parse_args(argv)
+
+    results = json.load(open(args.results))
+    if args.update:
+        slim = dict(categories=results["categories"],
+                    summary=results["summary"],
+                    engine=results.get("engine"),
+                    mode=results.get("mode"))
+        with open(args.baseline, "w") as fh:
+            json.dump(slim, fh, indent=1)
+        print(f"baseline updated: {args.baseline}")
+        return 0
+    baseline = json.load(open(args.baseline))
+    failures = compare(results, baseline, args.tolerance)
+    if failures:
+        print("REGRESSION GATE FAILED:")
+        for f in failures:
+            print(" ", f)
+        return 1
+    print(f"gate OK ({len(results.get('categories', []))} categories, "
+          f"tolerance {args.tolerance:.0%})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

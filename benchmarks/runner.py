@@ -1,76 +1,76 @@
 """Accuracy + throughput benchmark harness.
 
-Mirrors the reference's benchmarks module (benchmarks/runner.py,
-scoring.py): discovers (input, gold) pairs — BAliBASE-style directories
-with .tfa inputs and .msf gold alignments — aligns each case, scores
-SP/TC against gold, and reports per-case and aggregate results.
-
-Without network access the default dataset is the in-repo BAliBASE
-families plus DSSim-simulated families (self-consistency scored).
+Mirrors the reference's benchmarks module (/root/reference/benchmarks/
+runner.py:15-80, scoring.py, datasets.py): a dataset registry
+(committed BAliBASE families + a 24-family DSSim divergence sweep with
+ground-truth alignments), a process-pool case runner, per-category
+SP/TC aggregation, optional external-tool comparison, and JSON results
+consumed by the regression gate (benchmarks/gate.py — the reference
+CI's >5% alert semantics, .github/workflows/benchmark.yml:104-131).
 
 Usage:
-    python -m benchmarks                   # default dataset, host engine
-    python -m benchmarks --engine tpu
-    python -m benchmarks --data DIR --mode precise
+    python -m benchmarks                          # all datasets, host
+    python -m benchmarks --dataset dssim --engine tpu-fast
+    python -m benchmarks --external               # + clustalo/mafft if installed
+    python -m benchmarks --json results.json --jobs 4
+    python -m benchmarks.gate results.json benchmarks/baseline.json
 """
 
 import argparse
-import glob
 import json
 import os
 import sys
 import time
+from collections import defaultdict
+from concurrent.futures import ProcessPoolExecutor
+
+from benchmarks.datasets import load_cases, materialize
+from benchmarks import scoring
 
 
-def discover_cases(data_dir):
-    cases = []
-    for tfa in sorted(glob.glob(os.path.join(data_dir, "*.tfa"))):
-        stem = os.path.splitext(tfa)[0]
-        gold = stem + ".msf"
-        if os.path.exists(gold):
-            cases.append((os.path.basename(stem), tfa, gold))
-    return cases
+def run_case(case, mode, engine, n_threads, external):
+    seqs, names, gold_rows, gold_names = materialize(case)
+    r = dict(category=case.category, case=case.name, mode=mode,
+             engine=engine, n_seqs=len(seqs))
+    r.update(scoring.score_kalign(seqs, names, gold_rows, gold_names,
+                                  mode, engine, n_threads))
+    if external:
+        ext = []
+        for tool in scoring.available_external_tools():
+            e = scoring.score_external(tool, seqs, names, gold_rows,
+                                       gold_names)
+            if e:
+                ext.append(e)
+        if ext:
+            r["external"] = ext
+    return r
 
 
-def _gold_rows(path):
-    from kalign_tpu.core import io as kio
-    m = kio.read_alignment(path)
-    if m.aligned == 2:
-        m.finalise()
-    return [s.seq for s in m.sequences], [s.name for s in m.sequences]
+def _worker(args):
+    case, mode, engine, n_threads, external = args
+    # each pool worker pins jax to CPU (the benchmark device run goes
+    # through --jobs 1 in the main process)
+    try:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    return run_case(case, mode, engine, n_threads, external)
 
 
-def run_case(name, tfa, gold, mode="default", engine="host", n_threads=1):
-    from kalign_tpu.core import io as kio
-    from kalign_tpu.core.cmp import msa_compare_detailed
-    from kalign_tpu import engine as E
-    from kalign_tpu.api import _resolve_mode
-
-    consistency, ensemble, realign = _resolve_mode(
-        None if mode == "default" else mode, None, 0, 0)
-    msa = kio.read_inputs([tfa])
-    msa.quiet = True
-    t0 = time.time()
-    if ensemble:
-        from kalign_tpu.ensemble import ensemble_align
-        msa = ensemble_align(msa, n_threads=n_threads, n_runs=ensemble,
-                             realign=realign,
-                             consistency_anchors=consistency, engine=engine)
-    else:
-        msa = E.align_msa(msa, n_threads=n_threads,
-                          consistency_anchors=consistency,
-                          realign=realign, engine=engine)
-    wall = time.time() - t0
-    gr, gn = _gold_rows(gold)
-    d = msa_compare_detailed(gr, msa.aligned_rows(), gn,
-                             [s.name for s in msa.sequences], 0.2)
-    return {
-        "case": name, "mode": mode, "engine": engine,
-        "n_seqs": msa.numseq, "alnlen": msa.alnlen,
-        "wall_s": round(wall, 3),
-        "sp": round(d.recall, 4), "tc": round(d.tc, 4),
-        "precision": round(d.precision, 4), "f1": round(d.f1, 4),
-    }
+def aggregate(results):
+    cats = defaultdict(list)
+    for r in results:
+        cats[r["category"]].append(r)
+    table = []
+    for cat in sorted(cats):
+        rs = cats[cat]
+        table.append(dict(
+            category=cat, cases=len(rs),
+            mean_sp=round(sum(r["sp"] for r in rs) / len(rs), 4),
+            mean_tc=round(sum(r["tc"] for r in rs) / len(rs), 4),
+            total_wall_s=round(sum(r["wall_s"] for r in rs), 3)))
+    return table
 
 
 def run_throughput(engine="host", n_families=8, n_seq=64, length=300,
@@ -80,9 +80,8 @@ def run_throughput(engine="host", n_families=8, n_seq=64, length=300,
     from kalign_tpu.api import align, generate_test_sequences
     fams = [generate_test_sequences(n_seq, 10, False, length, seed=100 + i)
             for i in range(n_families)]
-    # warmup
     align(fams[0][0], names=fams[0][1], mode="fast", engine=engine,
-          n_threads=n_threads)
+          n_threads=n_threads)  # warmup
     t0 = time.time()
     for seqs, names in fams:
         align(seqs, names=names, mode="fast", engine=engine,
@@ -97,32 +96,59 @@ def run_throughput(engine="host", n_families=8, n_seq=64, length=300,
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="kalign-tpu-bench")
+    p.add_argument("--dataset", default="all",
+                   choices=["all", "balibase", "dssim"])
     p.add_argument("--data", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "tests", "data"))
     p.add_argument("--mode", default="default",
                    choices=["default", "fast", "precise"])
-    p.add_argument("--engine", default="host", choices=["host", "tpu", "tpu-fast"])
+    p.add_argument("--engine", default="host",
+                   choices=["host", "tpu", "tpu-fast"])
     p.add_argument("--threads", type=int, default=1)
+    p.add_argument("--jobs", type=int, default=1,
+                   help="process-pool width over cases")
+    p.add_argument("--external", action="store_true",
+                   help="also score clustalo/mafft/muscle if installed")
     p.add_argument("--throughput", action="store_true")
-    p.add_argument("--json", action="store_true")
+    p.add_argument("--json", metavar="FILE", default=None,
+                   help="write full results JSON for benchmarks.gate")
     args = p.parse_args(argv)
 
+    cases = load_cases(args.dataset, args.data)
+    work = [(c, args.mode, args.engine, args.threads, args.external)
+            for c in cases]
     results = []
-    for name, tfa, gold in discover_cases(args.data):
-        r = run_case(name, tfa, gold, args.mode, args.engine, args.threads)
-        results.append(r)
-        print(json.dumps(r))
-    if results:
-        sp = sum(r["sp"] for r in results) / len(results)
-        tc = sum(r["tc"] for r in results) / len(results)
-        wall = sum(r["wall_s"] for r in results)
-        print(json.dumps({"summary": True, "cases": len(results),
-                          "mean_sp": round(sp, 4), "mean_tc": round(tc, 4),
-                          "total_wall_s": round(wall, 3)}))
+    if args.jobs > 1:
+        with ProcessPoolExecutor(max_workers=args.jobs) as pool:
+            for r in pool.map(_worker, work):
+                results.append(r)
+                print(json.dumps(r))
+    else:
+        for w in work:
+            r = run_case(*w)
+            results.append(r)
+            print(json.dumps(r))
+
+    table = aggregate(results)
+    for row in table:
+        print(json.dumps(row))
+    summary = dict(
+        summary=True, cases=len(results),
+        mean_sp=round(sum(r["sp"] for r in results) / max(len(results), 1), 4),
+        mean_tc=round(sum(r["tc"] for r in results) / max(len(results), 1), 4),
+        total_wall_s=round(sum(r["wall_s"] for r in results), 3))
+    print(json.dumps(summary))
+
+    payload = dict(results=results, categories=table, summary=summary,
+                   engine=args.engine, mode=args.mode)
     if args.throughput:
-        print(json.dumps(run_throughput(args.engine,
-                                        n_threads=args.threads)))
+        payload["throughput"] = run_throughput(args.engine,
+                                               n_threads=args.threads)
+        print(json.dumps(payload["throughput"]))
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump(payload, fh, indent=1)
     return 0
 
 

@@ -91,7 +91,12 @@ class _Hmm:
             self.insert_emit.append(ie)
             self.transition.append(list(prior_t))
 
-    def emit(self) -> str:
+    def emit(self, trace: List[Tuple[int, int]] = None) -> str:
+        """Emit one sequence.  When `trace` is given, records one
+        (state, hmm_pos) tuple per emitted residue — the ground-truth
+        homology used to build gold alignments for simulated
+        benchmarks.  Recording consumes no randomness, so sequences
+        are unchanged (bit-exact with dssim.c either way)."""
         rng = self.rng
         alpha = _PROT_ALPHA if self.L == 20 else _DNA_ALPHA
         out = []
@@ -130,8 +135,12 @@ class _Hmm:
 
             if state == HMM_MATCH:
                 out.append(alpha[_sample_pick(self.match_emit[pos], rng)])
+                if trace is not None:
+                    trace.append((HMM_MATCH, pos))
             elif state == HMM_INSERT:
                 out.append(alpha[_sample_pick(self.insert_emit[pos], rng)])
+                if trace is not None:
+                    trace.append((HMM_INSERT, pos))
         return "".join(out)
 
 
@@ -145,3 +154,77 @@ def generate_test_sequences(n_seq: int = 20, n_obs: int = 10,
     seqs = [hmm.emit() for _ in range(n_seq)]
     names = [str(i + 1) for i in range(n_seq)]
     return seqs, names
+
+
+def generate_test_alignment(n_seq: int = 20, n_obs: int = 10,
+                            dna: bool = False, length: int = 250,
+                            seed: int = 42, indel_p: float = None,
+                            match_err_p: float = 0.05,
+                            insert_err_p: float = 0.25):
+    """Simulated family WITH its ground-truth alignment.
+
+    Returns (sequences, names, gold_rows): residues emitted by the same
+    HMM match state share a column; insert runs occupy left-justified
+    filler columns between match columns (non-homologous — they exceed
+    any sane core-column gap threshold and are excluded from SP/TC
+    scoring, exactly like BAliBASE non-core blocks).
+
+    The divergence knobs map onto the simulator's priors: lower `n_obs`
+    and higher `match_err_p` mean noisier emission profiles (more
+    diverged families); `indel_p` sets the match->indel transition mass
+    (defaults to the reference's n_seq rule, dssim.c:128)."""
+    if indel_p is None:
+        indel_p = 0.02 if n_seq > 100 else 0.04
+    hmm = _Hmm(length, seed, dna, n_obs, indel_p,
+               match_err_p=match_err_p, insert_err_p=insert_err_p)
+    seqs = []
+    traces = []
+    for _ in range(n_seq):
+        tr: List[Tuple[int, int]] = []
+        seqs.append(hmm.emit(tr))
+        traces.append(tr)
+    names = [str(i + 1) for i in range(n_seq)]
+
+    # column plan: per HMM position, the match column plus a filler
+    # block wide enough for the longest insert run observed there
+    max_ins = [0] * (length + 1)
+    for tr in traces:
+        run = 0
+        last_pos = -1
+        for st, pos in tr:
+            if st == HMM_INSERT:
+                run = run + 1 if pos == last_pos else 1
+                last_pos = pos
+                if run > max_ins[pos]:
+                    max_ins[pos] = run
+            else:
+                run = 0
+                last_pos = -1
+    col_of_match = [0] * (length + 1)
+    col = 0
+    for p in range(length + 1):
+        col_of_match[p] = col
+        col += 1 + max_ins[p]
+    total_cols = col
+
+    rows = []
+    for seq, tr in zip(seqs, traces):
+        row = ["-"] * total_cols
+        ins_run = 0
+        last_pos = -1
+        for ch, (st, pos) in zip(seq, tr):
+            if st == HMM_MATCH:
+                row[col_of_match[pos]] = ch
+                ins_run = 0
+                last_pos = -1
+            else:
+                ins_run = ins_run + 1 if pos == last_pos else 1
+                last_pos = pos
+                row[col_of_match[pos] + ins_run] = ch
+        rows.append("".join(row))
+
+    # drop all-gap columns (match states skipped by every sequence)
+    keep = [c for c in range(total_cols)
+            if any(r[c] != "-" for r in rows)]
+    rows = ["".join(r[c] for c in keep) for r in rows]
+    return seqs, names, rows
