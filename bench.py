@@ -40,7 +40,10 @@ def bench_gotoh(batch=192, L=384, bt=192, iters=48):
     from kalign_tpu.tpu.gotoh_pallas import gotoh_forward_pallas
 
     rng = np.random.default_rng(0)
-    match = jnp.asarray(rng.normal(size=(batch, L, L)).astype(np.float32))
+    # [L1, B, W] row-major stream layout: the kernel's native input (the
+    # engine's matmul producer emits/fuses into this layout; keeping the
+    # relayout out of the timed loop measures the DP launch itself)
+    match = jnp.asarray(rng.normal(size=(L, batch, L)).astype(np.float32))
     pens = np.tile(np.array([-7.0, -1.25, -1.0], np.float32)[None, :, None],
                    (batch, 1, L + 1))
     pc = jnp.asarray(pens)
@@ -53,7 +56,10 @@ def bench_gotoh(batch=192, L=384, bt=192, iters=48):
         def body(_, c):
             m = match + c * jnp.float32(1e-9)
             _, score, _ = gotoh_forward_pallas(m, pc, pr, la, lb, bt=bt,
-                                               with_dec=False)
+                                               rows_per_step=16,
+                                               with_dec=False,
+                                               with_bias=False,
+                                               pre_transposed=True)
             return jnp.sum(score) * jnp.float32(1e-9)
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
 

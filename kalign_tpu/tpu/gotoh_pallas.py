@@ -68,8 +68,8 @@ def _vmem_bytes(bt: int, W: int, R: int) -> int:
 def pick_plan(B: int, L2p: int, vmem_budget: int = 9 * 2**20):
     """Choose (bt, rows_per_step, feasible) for the Pallas kernel.
 
-    Prefers big tiles (amortise per-grid-step overhead) and R=8 row
-    unrolls; under VMEM pressure (very wide problems) shrinks the tile
+    Prefers big tiles (amortise per-grid-step overhead) and R=16 row
+    unrolls (measured +8% over R=8 on chip); under VMEM pressure (very wide problems) shrinks the tile
     first, then the unroll.  feasible=False means even (bt=8, R=1)
     exceeds the budget — callers should use the HBM-resident XLA scan
     implementation instead.
@@ -79,7 +79,7 @@ def pick_plan(B: int, L2p: int, vmem_budget: int = 9 * 2**20):
     measured at 19.26 MiB against _vmem_bytes' 11 MiB estimate (Mosaic
     adds ~1.75x buffering the model does not see); 9 MiB * 1.75 = 15.8
     stays under the limit while keeping bt=128 at width 384."""
-    for R in (8, 4, 2, 1):
+    for R in (16, 8, 4, 2, 1):
         bt = 256
         while bt > 8 and _vmem_bytes(bt, L2p, R) > vmem_budget:
             bt //= 2
@@ -110,7 +110,7 @@ def _cummax_axis1(x, n):
 
 def _kernel(lab_ref, bias_ref, match_ref, rowpen_ref, colpen_ref, ga0_ref,
             dec_ref, score_ref, state_ref,
-            S_ref, *, L2p, L1p, R, with_dec):
+            S_ref, *, L2p, L1p, R, with_dec, with_bias=True):
     """colpen_ref packs row-invariant column-side vectors [10, BT, L2p]
     for DP columns 1..L2p: 0 goB, 1 geB, 2 tgeB, 3 C_norm, 4 C_term,
     5 goB_next, 6 tgeB_next, 7 goB_shifted (goB[j-1], 0 at col 1),
@@ -171,9 +171,10 @@ def _kernel(lab_ref, bias_ref, match_ref, rowpen_ref, colpen_ref, ga0_ref,
         # reference's Hirschberg midpoint preference; saves the producer
         # a full elementwise pass over the [B, L1p, L2p] match array)
         m_row = match_ref[r]  # [BT, L2p]; m_row[:, j-1] scores DP col j
-        rowf = jax.lax.convert_element_type(row, jnp.float32)
-        dev = jnp.abs(colsf - rowf * slope)
-        m_row = m_row - dev * bias_eps
+        if with_bias:
+            rowf = jax.lax.convert_element_type(row, jnp.float32)
+            dev = jnp.abs(colsf - rowf * slope)
+            m_row = m_row - dev * bias_eps
 
         # one stacked roll produces every j-1 view of the previous row;
         # position 0 (DP col 1) receives the analytic column-0 boundary
@@ -253,17 +254,25 @@ def _kernel(lab_ref, bias_ref, match_ref, rowpen_ref, colpen_ref, ga0_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("bt", "rows_per_step", "interpret",
-                                    "with_dec"))
+                                    "with_dec", "with_bias",
+                                    "pre_transposed"))
 def gotoh_forward_pallas(match, pens_cols, pens_rows, la, lb, bt=8,
                          rows_per_step=8, interpret=False, with_dec=True,
-                         slope=None, bias_eps=None):
-    """match [B, L1p, L2p] f32; pens_cols [B, 3, L2p+1];
+                         slope=None, bias_eps=None, with_bias=True,
+                         pre_transposed=False):
+    """match [B, L1p, L2p] f32 (or [L1p, B, L2p] with
+    pre_transposed=True — the kernel streams row-major; callers that
+    can produce that layout directly skip a full HBM relayout pass);
+    pens_cols [B, 3, L2p+1];
     pens_rows [B, 3, L1p+1]; la, lb [B] int32.
     slope/bias_eps [B] f32 (optional): fused centering bias
     match[i,j] -= |(j+1) - (i+1)*slope| * bias_eps applied in-kernel.
     Returns dec [B, L1p, L2p] int8 (row r = DP row r+1, col c = DP
     column c+1), score [B], end_state [B]."""
-    B, L1p, L2p = match.shape
+    if pre_transposed:
+        L1p, B, L2p = match.shape
+    else:
+        B, L1p, L2p = match.shape
     assert B % bt == 0, (B, bt)
     R = rows_per_step
     while L1p % R:
@@ -277,6 +286,7 @@ def gotoh_forward_pallas(match, pens_cols, pens_rows, la, lb, bt=8,
     biasv = jnp.stack([slope.astype(jnp.float32),
                        bias_eps.astype(jnp.float32)], axis=1)  # [B, 2]
 
+    match_t = match if pre_transposed else jnp.transpose(match, (1, 0, 2))
     # column-side vectors for DP cols 1..L2p (lane-aligned width L2p)
     goB = pens_cols[:, 0, 1:]
     geB = pens_cols[:, 1, 1:]
@@ -314,11 +324,10 @@ def gotoh_forward_pallas(match, pens_cols, pens_rows, la, lb, bt=8,
     rowpen = jnp.stack([goA[:, 1:].T, geA[:, 1:].T, tgeA[:, 1:].T,
                         goA[:, :L1p].T, gb0.T, zeros, zeros, zeros],
                        axis=2).astype(jnp.float32)   # [L1p, B, 8]
-    match_t = jnp.transpose(match, (1, 0, 2))
 
     grid = (B // bt, L1p // R)
     kernel = functools.partial(_kernel, L2p=L2p, L1p=L1p, R=R,
-                               with_dec=with_dec)
+                               with_dec=with_dec, with_bias=with_bias)
     dec_rows = L1p if with_dec else R
     dec_map = (lambda b, i: (i, b, 0)) if with_dec else (lambda b, i: (0, b, 0))
     dec, score, state = pl.pallas_call(
