@@ -36,6 +36,8 @@ def bench_gotoh(batch=192, L=384, bt=192, iters=48):
     per-launch roundtrips cost seconds, and honest everywhere else."""
     import functools
     import jax
+    from kalign_tpu.utils import ensure_compile_cache
+    ensure_compile_cache()
     import jax.numpy as jnp
     from kalign_tpu.tpu.gotoh_pallas import gotoh_forward_pallas
 

@@ -135,6 +135,8 @@ class ExactTpuEngine(HostEngine):
 
     def __init__(self, n_threads: int = 1):
         super().__init__(n_threads=n_threads)
+        from kalign_tpu.utils import ensure_compile_cache
+        ensure_compile_cache()
         from kalign_tpu.tpu.exact import ExactDpBackend
         self.backend = ExactDpBackend()
 

@@ -90,7 +90,11 @@ def pallas_anchor_distances(tokens: np.ndarray, lengths: np.ndarray,
 
     pat_w = min(bpm.MAX_PATTERN, Lmax)
     max_steps = int(Lmax + bpm.WORD)
-    out = np.zeros(N * K, np.int32)
+    # dispatch every chunk asynchronously and fetch ONCE: on tunneled /
+    # remote devices each device->host round trip costs far more than
+    # the kernels themselves (measured seconds per fetch on the dev
+    # tunnel), and chunks are independent
+    parts = []
     for lo in range(0, N * K, chunk):
         hi = min(lo + chunk, N * K)
         Bc = hi - lo
@@ -106,7 +110,9 @@ def pallas_anchor_distances(tokens: np.ndarray, lengths: np.ndarray,
         peq = bpm.build_peq(jnp.asarray(pats), jnp.asarray(m))
         d = bpm_batch_pallas(jnp.asarray(texts), jnp.asarray(n), peq,
                              jnp.asarray(m), max_steps, bt=bt)
-        out[lo:hi] = np.asarray(d)[:Bc]
+        parts.append(d[:Bc])
+    out = np.asarray(jnp.concatenate(parts)) if len(parts) > 1 \
+        else np.asarray(parts[0])
     return out.reshape(N, K)
 
 

@@ -118,6 +118,8 @@ class TpuEngine:
         merge buckets shard their batch axis over the whole mesh
         (SURVEY §2.2 tree-level merge parallelism) via
         parallel.mesh.sharded_bucket_step."""
+        from kalign_tpu.utils import ensure_compile_cache
+        ensure_compile_cache()
         self.host = HostEngine(n_threads=n_threads)
         self.n_threads = n_threads
         if use_pallas is None:
@@ -332,6 +334,38 @@ class TpuEngine:
                 np.asarray(steps)[0, :int(np.asarray(n)[0])].astype(np.int8))
             scores[k] = score
         return steps_out, scores
+
+    @staticmethod
+    def _prefetch_handles(handles):
+        """Fetch every dispatched bucket's packed device result in ONE
+        jax.device_get (one batched transfer instead of a serial
+        round trip per bucket — each costs seconds on tunneled
+        devices).  Returns handles with device arrays replaced by
+        numpy."""
+        import jax as _jax
+        arrays = []
+
+        def walk(h):
+            if h[0] == "multi":
+                for sub in h[1]:
+                    walk(sub)
+            elif h[0] == "packed":
+                arrays.append(h[1])
+
+        for h in handles:
+            walk(h)
+        if not arrays:
+            return handles
+        fetched = iter(_jax.device_get(arrays))
+
+        def rebuild(h):
+            if h[0] == "multi":
+                return ("multi", [rebuild(sub) for sub in h[1]])
+            if h[0] == "packed":
+                return ("packed", next(fetched)) + h[2:]
+            return h
+
+        return [rebuild(h) for h in handles]
 
     def _collect_bucket(self, handle):
         """Fetch + decode a _dispatch_bucket result (one transfer)."""
@@ -577,7 +611,8 @@ class TpuEngine:
                                                eps, bonus)
                 dispatched.append((items, B, K, handle))
 
-            for items, B, K, handle in dispatched:
+            handles = self._prefetch_handles([d[3] for d in dispatched])
+            for (items, B, K, _), handle in zip(dispatched, handles):
                 all_steps, all_scores = self._collect_bucket(handle)
                 if K > 1:
                     steps_list, scores, multi = self._select_candidates(

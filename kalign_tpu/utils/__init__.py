@@ -114,3 +114,26 @@ def trim_alignment(alignment: List[str], start: Optional[int] = None,
     if start >= end:
         raise ValueError("Start position must be less than end position")
     return [s[start:end] for s in alignment]
+
+
+def ensure_compile_cache():
+    """Enable jax's persistent on-disk compilation cache (repeat runs of
+    the aligner hit dozens of bucket-shape compiles; on remote-compile
+    setups each costs seconds).  Opt out with KALIGN_TPU_NO_COMPILE_CACHE."""
+    import os
+    if os.environ.get("KALIGN_TPU_NO_COMPILE_CACHE"):
+        return
+    import jax
+    try:
+        if jax.config.jax_compilation_cache_dir:
+            return
+        cache = os.environ.get(
+            "KALIGN_TPU_COMPILE_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "kalign_tpu",
+                         "xla"))
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
