@@ -66,154 +66,268 @@ void AlnMem::init_window() {
 #define KT_MAX3(a, b, c) KT_MAX(KT_MAX(a, b), c)
 
 /* ------------------------------------------------------------------ */
-/* residues x residues                                                 */
+/* unified Gotoh sweeps                                                */
 /* ------------------------------------------------------------------ */
+/* One forward and one backward row sweep cover all three operand
+ * kinds.  Every per-cell penalty is an ADDEND supplied by a small
+ * policy class (x - gpe and x + (-gpe) are the same IEEE operation, so
+ * the scalar float sequence per cell is unchanged from the reference
+ * recurrences in aln_seqseq.c / aln_seqprofile.c /
+ * aln_profileprofile.c):
+ *
+ *   row side (operand A, index i):  gb_ext/gb_open/gb_tg feed the
+ *     gap-in-column state; dgb feeds the diagonal's gap->match close.
+ *   column side (operand B, index j): ga_ext/ga_open/ga_tg feed the
+ *     gap-in-row state; dga the diagonal close.
+ *   match(acc, j) adds the substitution score for (current row, col j)
+ *     onto the running cell value (profilexprofile adds its weighted
+ *     terms one by one in descending residue order).
+ *
+ * Policies return values for the CURRENT sweep direction; the backward
+ * sweep reads its neighbors mirrored exactly like the reference's
+ * backward loops. */
 
-static void fwd_rr(AlnMem& m) {
-  float* sa = m.fa.data();
-  float* sga = m.fga.data();
-  float* sgb = m.fgb.data();
-  const uint8_t* seq1 = m.seq1;
-  const uint8_t* seq2 = m.seq2 - 1; /* 1-based column indexing */
-  const int starta = m.starta, enda = m.enda;
-  const int startb = m.startb, endb = m.endb;
-  const float gpo = m.pr->gpo, gpe = m.pr->gpe, tgpe = m.pr->tgpe;
-  const float soff = m.pr->soff;
+struct ModeRR {
+  const uint8_t* row_seq;      /* sweep-local row residues */
+  const uint8_t* col_seq;      /* 1-based via caller-fixed offset */
+  const float* subm;
+  float neg_gpo, neg_gpe, neg_tgpe, soff;
+  const float* sub_row = nullptr;
 
-  sa[startb] = sa[0];
-  sga[startb] = sga[0];
-  sgb[startb] = sgb[0];
-  if (startb) {
-    for (int j = startb + 1; j < endb; j++) {
-      sa[j] = -FLT_MAX;
-      sga[j] = KT_MAX(sga[j - 1] - gpe, sa[j - 1] - gpo);
-      sgb[j] = -FLT_MAX;
-    }
-  } else {
-    for (int j = startb + 1; j < endb; j++) {
-      sa[j] = -FLT_MAX;
-      sga[j] = KT_MAX(sga[j - 1], sa[j - 1]) - tgpe;
-      sgb[j] = -FLT_MAX;
+  void begin_row(int i) { sub_row = subm + 23 * row_seq[i]; }
+  float gb_ext(int) const { return neg_gpe; }
+  float gb_open(int) const { return neg_gpo; }
+  float gb_tg(int) const { return neg_tgpe; }
+  float dgb(int) const { return neg_gpo; }
+  float ga_ext(int) const { return neg_gpe; }
+  float ga_open(int) const { return neg_gpo; }
+  float ga_tg(int) const { return neg_tgpe; }
+  float dga(int) const { return neg_gpo; }
+  float match(float acc, int j) const {
+    return acc + (sub_row[col_seq[j]] - soff);
+  }
+};
+
+/* profile rows x residue columns.  blk(i) is the 64-float profile
+ * block of DP row i (leaf_profile layout; block 0 is the boundary). */
+struct ModePR {
+  const float* prof;           /* operand A profile, global blocks */
+  const uint8_t* col_seq;
+  float neg_open, neg_ext, neg_text; /* scalars scaled by sip */
+  int next_off;                /* +1 fwd (p1[-37] = prev block), -1 bwd */
+  const float* row_blk = nullptr;
+  const float* row_dgb = nullptr;
+
+  const float* blk(int t) const { return prof + ((int64_t)t << 6); }
+  void begin_row(int i) {
+    row_blk = blk(i + 1);
+    row_dgb = blk(i + 1 + next_off) - 37; /* slot 27 of the neighbor */
+  }
+  float gb_ext(int) const { return row_blk[28]; }
+  float gb_open(int) const { return row_blk[27]; }
+  float gb_tg(int) const { return row_blk[29]; }
+  float dgb(int) const { return *row_dgb; }
+  float ga_ext(int) const { return neg_ext; }
+  float ga_open(int) const { return neg_open; }
+  float ga_tg(int) const { return neg_text; }
+  float dga(int) const { return neg_open; }
+  float match(float acc, int j) const {
+    return acc + row_blk[32 + col_seq[j]];
+  }
+};
+
+/* profile x profile.  col_off selects the column block convention:
+ * the forward sweep reads column penalties from block j, the backward
+ * sweep from block j+1 (reference pointer-walk semantics). */
+struct ModePP {
+  const float* prof_a;
+  const float* prof_b;
+  int next_off;                /* +1 fwd, -1 bwd (diagonal close side) */
+  int col_off;                 /* 0 fwd, +1 bwd */
+  const float* row_blk = nullptr;
+  const float* row_dgb = nullptr;
+  unsigned int freq[24] = {};
+  int n_freq = 0;
+
+  const float* ablk(int t) const { return prof_a + ((int64_t)t << 6); }
+  const float* bblk(int j) const {
+    return prof_b + ((int64_t)(j + col_off) << 6);
+  }
+  void begin_row(int i) {
+    row_blk = ablk(i + 1);
+    row_dgb = ablk(i + 1 + next_off) - 37;
+    n_freq = 0;
+    for (int c = 0; c < 23; c++) {
+      if (row_blk[c]) freq[n_freq++] = c;
     }
   }
-  sa[endb] = -FLT_MAX;
-  sga[endb] = -FLT_MAX;
-  sgb[endb] = -FLT_MAX;
+  float gb_ext(int) const { return row_blk[28]; }
+  float gb_open(int) const { return row_blk[27]; }
+  float gb_tg(int) const { return row_blk[29]; }
+  float dgb(int) const { return *row_dgb; }
+  float ga_ext(int j) const { return bblk(j)[28]; }
+  float ga_open(int j) const { return bblk(j)[27]; }
+  float ga_tg(int j) const { return bblk(j)[29]; }
+  float dga(int j) const { return bblk(j + next_off)[-37]; }
+  float match(float acc, int j) const {
+    const float* sub = bblk(j) + 32;
+    for (int c = n_freq - 1; c >= 0; c--) {
+      acc += row_blk[freq[c]] * sub[freq[c]];
+    }
+    return acc;
+  }
+};
 
-  for (int i = starta; i < enda; i++) {
-    const float* subp = m.pr->subm + 23 * seq1[i];
-    float pa = sa[startb];
-    float pga = sga[startb];
-    float pgb = sgb[startb];
-    sa[startb] = -FLT_MAX;
-    sga[startb] = -FLT_MAX;
-    float xa = sa[startb];
-    float xga = sga[startb];
-    if (startb) {
-      sgb[startb] = KT_MAX(pgb - gpe, pa - gpo);
+/* Forward row sweep over rows [row_lo, row_hi) x columns
+ * [m.startb, m.endb].  States march left to right; the first column
+ * holds the window's seeded boundary, the last column and the
+ * window's global edges get terminal-gap treatment. */
+template <class Mode>
+static void sweep_forward(AlnMem& m, Mode& mode, int row_lo, int row_hi) {
+  float* a = m.fa.data();
+  float* ga = m.fga.data();
+  float* gb = m.fgb.data();
+  const int col_lo = m.startb, col_hi = m.endb;
+  const bool left_edge = col_lo == 0;
+  const bool right_edge = col_hi == m.len_b;
+
+  a[col_lo] = a[0];
+  ga[col_lo] = ga[0];
+  gb[col_lo] = gb[0];
+  if (!left_edge) {
+    for (int j = col_lo + 1; j < col_hi; j++) {
+      a[j] = -FLT_MAX;
+      ga[j] = KT_MAX(ga[j - 1] + mode.ga_ext(j), a[j - 1] + mode.ga_open(j));
+      gb[j] = -FLT_MAX;
+    }
+  } else {
+    for (int j = col_lo + 1; j < col_hi; j++) {
+      a[j] = -FLT_MAX;
+      ga[j] = KT_MAX(ga[j - 1], a[j - 1]) + mode.ga_tg(j);
+      gb[j] = -FLT_MAX;
+    }
+  }
+  a[col_hi] = -FLT_MAX;
+  ga[col_hi] = -FLT_MAX;
+  gb[col_hi] = -FLT_MAX;
+
+  for (int i = row_lo; i < row_hi; i++) {
+    mode.begin_row(i);
+    float diag_a = a[col_lo];
+    float diag_ga = ga[col_lo];
+    float diag_gb = gb[col_lo];
+    a[col_lo] = -FLT_MAX;
+    ga[col_lo] = -FLT_MAX;
+    float left_a = a[col_lo];
+    float left_ga = ga[col_lo];
+    if (!left_edge) {
+      gb[col_lo] = KT_MAX(diag_gb + mode.gb_ext(i), diag_a + mode.gb_open(i));
     } else {
-      sgb[startb] = KT_MAX(pgb, pa) - tgpe;
+      gb[col_lo] = KT_MAX(diag_gb, diag_a) + mode.gb_tg(i);
     }
     int j;
-    for (j = startb + 1; j < endb; j++) {
-      float ca = sa[j];
-      pa = KT_MAX3(pa, pga - gpo, pgb - gpo);
-      pa += subp[seq2[j]] - soff;
-      if (m.bonus) pa += m.bonus[(int64_t)i * m.bstride + j];
-      sa[j] = pa;
-      pga = sga[j];
-      sga[j] = KT_MAX(xga - gpe, xa - gpo);
-      pgb = sgb[j];
-      sgb[j] = KT_MAX(pgb - gpe, ca - gpo);
-      pa = ca;
-      xa = sa[j];
-      xga = sga[j];
+    for (j = col_lo + 1; j < col_hi; j++) {
+      float cur_a = a[j];
+      float best = KT_MAX3(diag_a, diag_ga + mode.dga(j),
+                           diag_gb + mode.dgb(i));
+      best = mode.match(best, j);
+      if (m.bonus) best += m.bonus[(int64_t)i * m.bstride + j];
+      a[j] = best;
+      diag_ga = ga[j];
+      ga[j] = KT_MAX(left_ga + mode.ga_ext(j), left_a + mode.ga_open(j));
+      diag_gb = gb[j];
+      gb[j] = KT_MAX(diag_gb + mode.gb_ext(i), cur_a + mode.gb_open(i));
+      diag_a = cur_a;
+      left_a = a[j];
+      left_ga = ga[j];
     }
-    float ca = sa[j];
-    pa = KT_MAX3(pa, pga - gpo, pgb - gpo);
-    pa += subp[seq2[j]] - soff;
-    if (m.bonus) pa += m.bonus[(int64_t)i * m.bstride + j];
-    sa[j] = pa;
-    sga[j] = -FLT_MAX;
-    if (endb != m.len_b) {
-      sgb[j] = KT_MAX(sgb[j] - gpe, ca - gpo);
+    float cur_a = a[j];
+    float best = KT_MAX3(diag_a, diag_ga + mode.dga(j),
+                         diag_gb + mode.dgb(i));
+    best = mode.match(best, j);
+    if (m.bonus) best += m.bonus[(int64_t)i * m.bstride + j];
+    a[j] = best;
+    ga[j] = -FLT_MAX;
+    if (!right_edge) {
+      gb[j] = KT_MAX(gb[j] + mode.gb_ext(i), cur_a + mode.gb_open(i));
     } else {
-      sgb[j] = KT_MAX(sgb[j], ca) - tgpe;
+      gb[j] = KT_MAX(gb[j], cur_a) + mode.gb_tg(i);
     }
   }
 }
 
-static void bwd_rr(AlnMem& m) {
-  float* sa = m.ba.data();
-  float* sga = m.bga.data();
-  float* sgb = m.bgb.data();
-  const uint8_t* seq1 = m.seq1 + m.starta2;
-  const uint8_t* seq2 = m.seq2;
-  const int starta = m.starta2, enda = m.enda2;
-  const int startb = m.startb, endb = m.endb;
-  const float gpo = m.pr->gpo, gpe = m.pr->gpe, tgpe = m.pr->tgpe;
-  const float soff = m.pr->soff;
+/* Backward row sweep over rows [row_lo, row_hi) descending x the same
+ * column window, right to left; the mirror image of sweep_forward. */
+template <class Mode>
+static void sweep_backward(AlnMem& m, Mode& mode, int row_lo, int row_hi) {
+  float* a = m.ba.data();
+  float* ga = m.bga.data();
+  float* gb = m.bgb.data();
+  const int col_lo = m.startb, col_hi = m.endb;
+  const bool left_edge = col_lo == 0;
+  const bool right_edge = col_hi == m.len_b;
 
-  sa[endb] = sa[0];
-  sga[endb] = sga[0];
-  sgb[endb] = sgb[0];
-  if (endb != m.len_b) {
-    for (int j = endb - 1; j > startb; j--) {
-      sa[j] = -FLT_MAX;
-      sga[j] = KT_MAX(sga[j + 1] - gpe, sa[j + 1] - gpo);
-      sgb[j] = -FLT_MAX;
+  a[col_hi] = a[0];
+  ga[col_hi] = ga[0];
+  gb[col_hi] = gb[0];
+  if (!right_edge) {
+    for (int j = col_hi - 1; j > col_lo; j--) {
+      a[j] = -FLT_MAX;
+      ga[j] = KT_MAX(ga[j + 1] + mode.ga_ext(j), a[j + 1] + mode.ga_open(j));
+      gb[j] = -FLT_MAX;
     }
   } else {
-    for (int j = endb - 1; j > startb; j--) {
-      sa[j] = -FLT_MAX;
-      sga[j] = KT_MAX(sga[j + 1], sa[j + 1]) - tgpe;
-      sgb[j] = -FLT_MAX;
+    for (int j = col_hi - 1; j > col_lo; j--) {
+      a[j] = -FLT_MAX;
+      ga[j] = KT_MAX(ga[j + 1], a[j + 1]) + mode.ga_tg(j);
+      gb[j] = -FLT_MAX;
     }
   }
-  sa[startb] = -FLT_MAX;
-  sga[startb] = -FLT_MAX;
-  sgb[startb] = -FLT_MAX;
+  a[col_lo] = -FLT_MAX;
+  ga[col_lo] = -FLT_MAX;
+  gb[col_lo] = -FLT_MAX;
 
-  int i = enda - starta;
-  while (i--) {
-    const float* subp = m.pr->subm + 23 * seq1[i];
-    float pa = sa[endb];
-    float pga = sga[endb];
-    float pgb = sgb[endb];
-    sa[endb] = -FLT_MAX;
-    sga[endb] = -FLT_MAX;
-    float xa = sa[endb];
-    float xga = sga[endb];
-    if (endb != m.len_b) {
-      sgb[endb] = KT_MAX(pgb - gpe, pa - gpo);
+  for (int i = row_hi - 1; i >= row_lo; i--) {
+    mode.begin_row(i);
+    float diag_a = a[col_hi];
+    float diag_ga = ga[col_hi];
+    float diag_gb = gb[col_hi];
+    a[col_hi] = -FLT_MAX;
+    ga[col_hi] = -FLT_MAX;
+    float right_a = a[col_hi];
+    float right_ga = ga[col_hi];
+    if (!right_edge) {
+      gb[col_hi] = KT_MAX(diag_gb + mode.gb_ext(i), diag_a + mode.gb_open(i));
     } else {
-      sgb[endb] = KT_MAX(pgb, pa) - tgpe;
+      gb[col_hi] = KT_MAX(diag_gb, diag_a) + mode.gb_tg(i);
     }
     int j;
-    for (j = endb - 1; j > startb; j--) {
-      float ca = sa[j];
-      pa = KT_MAX3(pa, pga - gpo, pgb - gpo);
-      pa += subp[seq2[j]] - soff;
-      if (m.bonus) pa += m.bonus[(int64_t)(starta + i) * m.bstride + j];
-      sa[j] = pa;
-      pga = sga[j];
-      sga[j] = KT_MAX(xga - gpe, xa - gpo);
-      pgb = sgb[j];
-      sgb[j] = KT_MAX(pgb - gpe, ca - gpo);
-      pa = ca;
-      xa = sa[j];
-      xga = sga[j];
+    for (j = col_hi - 1; j > col_lo; j--) {
+      float cur_a = a[j];
+      float best = KT_MAX3(diag_a, diag_ga + mode.dga(j),
+                           diag_gb + mode.dgb(i));
+      best = mode.match(best, j);
+      if (m.bonus) best += m.bonus[(int64_t)i * m.bstride + j];
+      a[j] = best;
+      diag_ga = ga[j];
+      ga[j] = KT_MAX(right_ga + mode.ga_ext(j), right_a + mode.ga_open(j));
+      diag_gb = gb[j];
+      gb[j] = KT_MAX(diag_gb + mode.gb_ext(i), cur_a + mode.gb_open(i));
+      diag_a = cur_a;
+      right_a = a[j];
+      right_ga = ga[j];
     }
-    float ca = sa[j];
-    pa = KT_MAX3(pa, pga - gpo, pgb - gpo);
-    pa += subp[seq2[j]] - soff;
-    if (m.bonus) pa += m.bonus[(int64_t)(starta + i) * m.bstride + j];
-    sa[j] = pa;
-    sga[j] = -FLT_MAX;
-    if (startb) {
-      sgb[j] = KT_MAX(sgb[j] - gpe, ca - gpo);
+    float cur_a = a[j];
+    float best = KT_MAX3(diag_a, diag_ga + mode.dga(j),
+                         diag_gb + mode.dgb(i));
+    best = mode.match(best, j);
+    if (m.bonus) best += m.bonus[(int64_t)i * m.bstride + j];
+    a[j] = best;
+    ga[j] = -FLT_MAX;
+    if (!left_edge) {
+      gb[j] = KT_MAX(gb[j] + mode.gb_ext(i), cur_a + mode.gb_open(i));
     } else {
-      sgb[j] = KT_MAX(sgb[j], ca) - tgpe;
+      gb[j] = KT_MAX(gb[j], cur_a) + mode.gb_tg(i);
     }
   }
 }
@@ -243,8 +357,8 @@ struct MeetState {
   }
 };
 
-/* margin bookkeeping + flip perturbation, shared across the three
-   meetup variants (aln_seqseq.c:375-414 et al.) */
+/* margin bookkeeping + flip perturbation, shared across all meetups
+   (aln_seqseq.c:375-414 et al.) */
 static void finish_meet(AlnMem& m, MeetState& st, int* meet, int* trans,
                         float* score) {
   if (st.max2 > -FLT_MAX) {
@@ -285,454 +399,59 @@ static void finish_meet(AlnMem& m, MeetState& st, int* meet, int* trans,
   *score = st.max;
 }
 
-static void meet_rr(AlnMem& m, const int oc[5], int* meet, int* trans,
-                    float* score) {
+/* Transition addends for the meetup: t2/t5 may vary per column
+ * (profilexprofile reads the column profile), t3/t6/t7 come from the
+ * midpoint row's profile block (or scalars). */
+struct MeetRR {
+  float neg_gpo, neg_gpe, neg_tgpe;
+  float t2(int) const { return neg_gpo; }
+  float t5(int) const { return neg_gpo; }
+  float t3() const { return neg_gpo; }
+  float t6(bool tg) const { return tg ? neg_tgpe : neg_gpe; }
+  float t7() const { return neg_gpo; }
+};
+
+struct MeetP {
+  const float* prof_a;
+  const float* prof_b;      /* null for profilexresidues */
+  float neg_open;           /* gpo * sip (profilexresidues only) */
+  int mid;
+  const float* ablk(int t) const { return prof_a + ((int64_t)t << 6); }
+  const float* bblk(int t) const { return prof_b + ((int64_t)t << 6); }
+  float t2(int i) const { return prof_b ? bblk(i + 1)[27] : neg_open; }
+  float t5(int i) const { return prof_b ? bblk(i)[27] : neg_open; }
+  float t3() const { return ablk(mid + 1)[27]; }
+  float t6(bool tg) const {
+    return tg ? ablk(mid + 1)[29] : ablk(mid + 1)[28];
+  }
+  float t7() const { return ablk(mid)[27]; }
+};
+
+template <class Meet>
+static void meet_combine(AlnMem& m, const Meet& mt, const int oc[5],
+                         int* meet, int* trans, float* score) {
   const float* fa = m.fa.data();
   const float* fga = m.fga.data();
   const float* fgb = m.fgb.data();
   const float* ba = m.ba.data();
   const float* bga = m.bga.data();
   const float* bgb = m.bgb.data();
-  const float gpo = m.pr->gpo, gpe = m.pr->gpe, tgpe = m.pr->tgpe;
   const float middle = (float)(oc[3] - oc[2]) / 2.0f + (float)oc[2];
   MeetState st;
   for (int i = oc[2]; i < oc[3]; i++) {
     float sub = fabsf(middle - (float)i) / 1000.0f;
     st.offer(fa[i] + ba[i] - sub, 1, i);
-    st.offer(fa[i] + bga[i] - gpo - sub, 2, i);
-    st.offer(fa[i] + bgb[i] - gpo - sub, 3, i);
-    st.offer(fga[i] + ba[i] - gpo - sub, 5, i);
-    if (m.startb == 0) {
-      st.offer(fgb[i] + bgb[i] - tgpe - sub, 6, i);
-    } else {
-      st.offer(fgb[i] + bgb[i] - gpe - sub, 6, i);
-    }
-    st.offer(fgb[i] + ba[i] - gpo - sub, 7, i);
+    st.offer(fa[i] + bga[i] + mt.t2(i) - sub, 2, i);
+    st.offer(fa[i] + bgb[i] + mt.t3() - sub, 3, i);
+    st.offer(fga[i] + ba[i] + mt.t5(i) - sub, 5, i);
+    st.offer(fgb[i] + bgb[i] + mt.t6(m.startb == 0) - sub, 6, i);
+    st.offer(fgb[i] + ba[i] + mt.t7() - sub, 7, i);
   }
   {
     int i = oc[3];
     float sub = fabsf(middle - (float)i) / 1000.0f;
-    st.offer(fa[i] + bgb[i] - gpo - sub, 3, i);
-    if (m.endb == m.len_b) {
-      st.offer(fgb[i] + bgb[i] - tgpe - sub, 6, i);
-    } else {
-      st.offer(fgb[i] + bgb[i] - gpe - sub, 6, i);
-    }
-  }
-  finish_meet(m, st, meet, trans, score);
-}
-
-/* ------------------------------------------------------------------ */
-/* profile x residues                                                  */
-/* ------------------------------------------------------------------ */
-
-static void fwd_pr(AlnMem& m) {
-  float* sa = m.fa.data();
-  float* sga = m.fga.data();
-  float* sgb = m.fgb.data();
-  const float* p1 = m.prof1 + ((int64_t)m.starta << 6);
-  const uint8_t* seq2 = m.seq2 - 1;
-  const int startb = m.startb, endb = m.endb;
-  const float open = m.pr->gpo * m.sip;
-  const float ext = m.pr->gpe * m.sip;
-  const float text = m.pr->tgpe * m.sip;
-
-  sa[startb] = sa[0];
-  sga[startb] = sga[0];
-  sgb[startb] = sgb[0];
-  if (startb) {
-    for (int j = startb + 1; j < endb; j++) {
-      sa[j] = -FLT_MAX;
-      sga[j] = KT_MAX(sga[j - 1] - ext, sa[j - 1] - open);
-      sgb[j] = -FLT_MAX;
-    }
-  } else {
-    for (int j = startb + 1; j < endb; j++) {
-      sa[j] = -FLT_MAX;
-      sga[j] = KT_MAX(sga[j - 1], sa[j - 1]) - text;
-      sgb[j] = -FLT_MAX;
-    }
-  }
-  sa[endb] = -FLT_MAX;
-  sga[endb] = -FLT_MAX;
-  sgb[endb] = -FLT_MAX;
-
-  for (int i = m.starta; i < m.enda; i++) {
-    p1 += 64;
-    float pa = sa[startb];
-    float pga = sga[startb];
-    float pgb = sgb[startb];
-    sa[startb] = -FLT_MAX;
-    sga[startb] = -FLT_MAX;
-    float xa = sa[startb];
-    float xga = sga[startb];
-    if (startb) {
-      sgb[startb] = KT_MAX(pgb + p1[28], pa + p1[27]);
-    } else {
-      sgb[startb] = KT_MAX(pgb, pa) + p1[29];
-    }
-    int j;
-    for (j = startb + 1; j < endb; j++) {
-      float ca = sa[j];
-      pa = KT_MAX3(pa, pga - open, pgb + p1[-37]);
-      pa += p1[32 + seq2[j]];
-      if (m.bonus) pa += m.bonus[(int64_t)i * m.bstride + j];
-      sa[j] = pa;
-      pga = sga[j];
-      sga[j] = KT_MAX(xga - ext, xa - open);
-      pgb = sgb[j];
-      sgb[j] = KT_MAX(pgb + p1[28], ca + p1[27]);
-      pa = ca;
-      xa = sa[j];
-      xga = sga[j];
-    }
-    float ca = sa[j];
-    pa = KT_MAX3(pa, pga - open, pgb + p1[-37]);
-    pa += p1[32 + seq2[j]];
-    if (m.bonus) pa += m.bonus[(int64_t)i * m.bstride + j];
-    sa[j] = pa;
-    sga[j] = -FLT_MAX;
-    if (endb != m.len_b) {
-      sgb[j] = KT_MAX(sgb[j] + p1[28], ca + p1[27]);
-    } else {
-      sgb[j] = KT_MAX(sgb[j], ca) + p1[29];
-    }
-  }
-}
-
-static void bwd_pr(AlnMem& m) {
-  float* sa = m.ba.data();
-  float* sga = m.bga.data();
-  float* sgb = m.bgb.data();
-  const float* p1 = m.prof1 + ((int64_t)(m.enda2 + 1) << 6);
-  const uint8_t* seq2 = m.seq2;
-  const int startb = m.startb, endb = m.endb;
-  const float open = m.pr->gpo * m.sip;
-  const float ext = m.pr->gpe * m.sip;
-  const float text = m.pr->tgpe * m.sip;
-
-  sa[endb] = sa[0];
-  sga[endb] = sga[0];
-  sgb[endb] = sgb[0];
-  if (endb != m.len_b) {
-    for (int j = endb - 1; j > startb; j--) {
-      sa[j] = -FLT_MAX;
-      sga[j] = KT_MAX(sga[j + 1] - ext, sa[j + 1] - open);
-      sgb[j] = -FLT_MAX;
-    }
-  } else {
-    for (int j = endb - 1; j > startb; j--) {
-      sa[j] = -FLT_MAX;
-      sga[j] = KT_MAX(sga[j + 1], sa[j + 1]) - text;
-      sgb[j] = -FLT_MAX;
-    }
-  }
-  sa[startb] = -FLT_MAX;
-  sga[startb] = -FLT_MAX;
-  sgb[startb] = -FLT_MAX;
-
-  int i = m.enda2 - m.starta2;
-  while (i--) {
-    p1 -= 64;
-    float pa = sa[endb];
-    float pga = sga[endb];
-    float pgb = sgb[endb];
-    sa[endb] = -FLT_MAX;
-    sga[endb] = -FLT_MAX;
-    float xa = sa[endb];
-    float xga = sga[endb];
-    if (endb != m.len_b) {
-      sgb[endb] = KT_MAX(pgb + p1[28], pa + p1[27]);
-    } else {
-      sgb[endb] = KT_MAX(pgb, pa) + p1[29];
-    }
-    int j;
-    for (j = endb - 1; j > startb; j--) {
-      float ca = sa[j];
-      pa = KT_MAX3(pa, pga - open, pgb + p1[91]);
-      pa += p1[32 + seq2[j]];
-      if (m.bonus) pa += m.bonus[(int64_t)(m.starta2 + i) * m.bstride + j];
-      sa[j] = pa;
-      pga = sga[j];
-      sga[j] = KT_MAX(xga - ext, xa - open);
-      pgb = sgb[j];
-      sgb[j] = KT_MAX(pgb + p1[28], ca + p1[27]);
-      pa = ca;
-      xa = sa[j];
-      xga = sga[j];
-    }
-    float ca = sa[j];
-    pa = KT_MAX3(pa, pga - open, pgb + p1[91]);
-    pa += p1[32 + seq2[j]];
-    if (m.bonus) pa += m.bonus[(int64_t)(m.starta2 + i) * m.bstride + j];
-    sa[j] = pa;
-    sga[j] = -FLT_MAX;
-    if (startb) {
-      sgb[j] = KT_MAX(sgb[j] + p1[28], ca + p1[27]);
-    } else {
-      sgb[j] = KT_MAX(sgb[j], ca) + p1[29];
-    }
-  }
-}
-
-static void meet_pr(AlnMem& m, const int oc[5], int* meet, int* trans,
-                    float* score) {
-  const float* fa = m.fa.data();
-  const float* fga = m.fga.data();
-  const float* fgb = m.fgb.data();
-  const float* ba = m.ba.data();
-  const float* bga = m.bga.data();
-  const float* bgb = m.bgb.data();
-  const float sip = (float)m.sip;
-  const float open = m.pr->gpo * sip;
-  const float* p1 = m.prof1 + ((int64_t)(oc[4] + 1) << 6);
-  const float middle = (float)(oc[3] - oc[2]) / 2.0f + (float)oc[2];
-  MeetState st;
-  for (int i = oc[2]; i < oc[3]; i++) {
-    float sub = fabsf(middle - (float)i) / 1000.0f;
-    st.offer(fa[i] + ba[i] - sub, 1, i);
-    st.offer(fa[i] + bga[i] - open - sub, 2, i);
-    st.offer(fa[i] + bgb[i] + p1[27] - sub, 3, i);
-    st.offer(fga[i] + ba[i] - open - sub, 5, i);
-    if (m.startb == 0) {
-      st.offer(fgb[i] + bgb[i] + p1[29] - sub, 6, i);
-    } else {
-      st.offer(fgb[i] + bgb[i] + p1[28] - sub, 6, i);
-    }
-    st.offer(fgb[i] + ba[i] + p1[-37] - sub, 7, i);
-  }
-  {
-    int i = oc[3];
-    float sub = fabsf(middle - (float)i) / 1000.0f;
-    st.offer(fa[i] + bgb[i] + p1[27] - sub, 3, i);
-    if (m.endb == m.len_b) {
-      st.offer(fgb[i] + bgb[i] + p1[29] - sub, 6, i);
-    } else {
-      st.offer(fgb[i] + bgb[i] + p1[28] - sub, 6, i);
-    }
-  }
-  finish_meet(m, st, meet, trans, score);
-}
-
-/* ------------------------------------------------------------------ */
-/* profile x profile                                                   */
-/* ------------------------------------------------------------------ */
-
-static void fwd_pp(AlnMem& m) {
-  unsigned int freq[24];
-  float* sa = m.fa.data();
-  float* sga = m.fga.data();
-  float* sgb = m.fgb.data();
-  const float* p1 = m.prof1 + ((int64_t)m.starta << 6);
-  const float* p2 = m.prof2 + ((int64_t)m.startb << 6);
-  const int startb = m.startb, endb = m.endb;
-
-  sa[startb] = sa[0];
-  sga[startb] = sga[0];
-  sgb[startb] = sgb[0];
-  if (startb) {
-    for (int j = startb + 1; j < endb; j++) {
-      p2 += 64;
-      sa[j] = -FLT_MAX;
-      sga[j] = KT_MAX(sga[j - 1] + p2[28], sa[j - 1] + p2[27]);
-      sgb[j] = -FLT_MAX;
-    }
-    p2 += 64;
-  } else {
-    for (int j = startb + 1; j < endb; j++) {
-      p2 += 64;
-      sa[j] = -FLT_MAX;
-      sga[j] = KT_MAX(sga[j - 1], sa[j - 1]) + p2[29];
-      sgb[j] = -FLT_MAX;
-    }
-    p2 += 64;
-  }
-  p2 -= (int64_t)(endb - startb) << 6;
-  sa[endb] = -FLT_MAX;
-  sga[endb] = -FLT_MAX;
-  sgb[endb] = -FLT_MAX;
-
-  for (int i = m.starta; i < m.enda; i++) {
-    p1 += 64;
-    int f = 0;
-    for (int j = 0; j < 23; j++) {
-      if (p1[j]) freq[f++] = j;
-    }
-    f--;
-
-    float pa = sa[startb];
-    float pga = sga[startb];
-    float pgb = sgb[startb];
-    sa[startb] = -FLT_MAX;
-    sga[startb] = -FLT_MAX;
-    float xa = sa[startb];
-    float xga = sga[startb];
-    if (startb) {
-      sgb[startb] = KT_MAX(pgb + p1[28], pa + p1[27]);
-    } else {
-      sgb[startb] = KT_MAX(pgb, pa) + p1[29];
-    }
-    int j;
-    for (j = startb + 1; j < endb; j++) {
-      p2 += 64;
-      float ca = sa[j];
-      pa = KT_MAX3(pa, pga + p2[-37], pgb + p1[-37]);
-      for (int c = f; c >= 0; c--) {
-        pa += p1[freq[c]] * p2[32 + freq[c]];
-      }
-      if (m.bonus) pa += m.bonus[(int64_t)i * m.bstride + j];
-      sa[j] = pa;
-      pga = sga[j];
-      sga[j] = KT_MAX(xga + p2[28], xa + p2[27]);
-      pgb = sgb[j];
-      sgb[j] = KT_MAX(pgb + p1[28], ca + p1[27]);
-      pa = ca;
-      xa = sa[j];
-      xga = sga[j];
-    }
-    p2 += 64;
-    float ca = sa[j];
-    pa = KT_MAX3(pa, pga + p2[-37], pgb + p1[-37]);
-    for (int c = f; c >= 0; c--) {
-      pa += p1[freq[c]] * p2[32 + freq[c]];
-    }
-    if (m.bonus) pa += m.bonus[(int64_t)i * m.bstride + j];
-    sa[j] = pa;
-    sga[j] = -FLT_MAX;
-    if (endb != m.len_b) {
-      sgb[j] = KT_MAX(sgb[j] + p1[28], ca + p1[27]);
-    } else {
-      sgb[j] = KT_MAX(sgb[j], ca) + p1[29];
-    }
-    p2 -= (int64_t)(endb - startb) << 6;
-  }
-}
-
-static void bwd_pp(AlnMem& m) {
-  unsigned int freq[24];
-  float* sa = m.ba.data();
-  float* sga = m.bga.data();
-  float* sgb = m.bgb.data();
-  const float* p1 = m.prof1 + ((int64_t)(m.enda2 + 1) << 6);
-  const float* p2 = m.prof2 + ((int64_t)(m.endb + 1) << 6);
-  const int startb = m.startb, endb = m.endb;
-
-  sa[endb] = sa[0];
-  sga[endb] = sga[0];
-  sgb[endb] = sgb[0];
-  if (endb != m.len_b) {
-    for (int j = endb - 1; j > startb; j--) {
-      p2 -= 64;
-      sa[j] = -FLT_MAX;
-      sga[j] = KT_MAX(sga[j + 1] + p2[28], sa[j + 1] + p2[27]);
-      sgb[j] = -FLT_MAX;
-    }
-    p2 -= 64;
-  } else {
-    for (int j = endb - 1; j > startb; j--) {
-      p2 -= 64;
-      sa[j] = -FLT_MAX;
-      sga[j] = KT_MAX(sga[j + 1], sa[j + 1]) + p2[29];
-      sgb[j] = -FLT_MAX;
-    }
-    p2 -= 64;
-  }
-  sa[startb] = -FLT_MAX;
-  sga[startb] = -FLT_MAX;
-  sgb[startb] = -FLT_MAX;
-
-  int i = m.enda2 - m.starta2;
-  while (i--) {
-    p1 -= 64;
-    int f = 0;
-    for (int j = 0; j < 23; j++) {
-      if (p1[j]) freq[f++] = j;
-    }
-    f--;
-
-    float pa = sa[endb];
-    float pga = sga[endb];
-    float pgb = sgb[endb];
-    sa[endb] = -FLT_MAX;
-    sga[endb] = -FLT_MAX;
-    float xa = sa[endb];
-    float xga = sga[endb];
-    if (endb != m.len_b) {
-      sgb[endb] = KT_MAX(pgb + p1[28], pa + p1[27]);
-    } else {
-      sgb[endb] = KT_MAX(pgb, pa) + p1[29];
-    }
-    p2 += (int64_t)(endb - startb) << 6;
-    int j;
-    for (j = endb - 1; j > startb; j--) {
-      p2 -= 64;
-      float ca = sa[j];
-      pa = KT_MAX3(pa, pga + p2[91], pgb + p1[91]);
-      for (int c = f; c >= 0; c--) {
-        pa += p1[freq[c]] * p2[32 + freq[c]];
-      }
-      if (m.bonus) pa += m.bonus[(int64_t)(m.starta2 + i) * m.bstride + j];
-      sa[j] = pa;
-      pga = sga[j];
-      sga[j] = KT_MAX(xga + p2[28], xa + p2[27]);
-      pgb = sgb[j];
-      sgb[j] = KT_MAX(pgb + p1[28], ca + p1[27]);
-      pa = ca;
-      xa = sa[j];
-      xga = sga[j];
-    }
-    p2 -= 64;
-    float ca = sa[j];
-    pa = KT_MAX3(pa, pga + p2[91], pgb + p1[91]);
-    for (int c = f; c >= 0; c--) {
-      pa += p1[freq[c]] * p2[32 + freq[c]];
-    }
-    if (m.bonus) pa += m.bonus[(int64_t)(m.starta2 + i) * m.bstride + j];
-    sa[j] = pa;
-    sga[j] = -FLT_MAX;
-    if (startb) {
-      sgb[j] = KT_MAX(sgb[j] + p1[28], ca + p1[27]);
-    } else {
-      sgb[j] = KT_MAX(sgb[j], ca) + p1[29];
-    }
-  }
-}
-
-static void meet_pp(AlnMem& m, const int oc[5], int* meet, int* trans,
-                    float* score) {
-  const float* fa = m.fa.data();
-  const float* fga = m.fga.data();
-  const float* fgb = m.fgb.data();
-  const float* ba = m.ba.data();
-  const float* bga = m.bga.data();
-  const float* bgb = m.bgb.data();
-  const float* p1 = m.prof1 + ((int64_t)(oc[4] + 1) << 6);
-  const float* p2 = m.prof2 + ((int64_t)oc[2] << 6);
-  const float middle = (float)(oc[3] - oc[2]) / 2.0f + (float)oc[2];
-  MeetState st;
-  for (int i = oc[2]; i < oc[3]; i++) {
-    float sub = fabsf(middle - (float)i) / 1000.0f;
-    p2 += 64;
-    st.offer(fa[i] + ba[i] - sub, 1, i);
-    st.offer(fa[i] + bga[i] + p2[27] - sub, 2, i);
-    st.offer(fa[i] + bgb[i] + p1[27] - sub, 3, i);
-    st.offer(fga[i] + ba[i] + p2[-37] - sub, 5, i);
-    if (m.startb == 0) {
-      st.offer(fgb[i] + bgb[i] + p1[29] - sub, 6, i);
-    } else {
-      st.offer(fgb[i] + bgb[i] + p1[28] - sub, 6, i);
-    }
-    st.offer(fgb[i] + ba[i] + p1[-37] - sub, 7, i);
-  }
-  {
-    int i = oc[3];
-    float sub = fabsf(middle - (float)i) / 1000.0f;
-    st.offer(fa[i] + bgb[i] + p1[27] - sub, 3, i);
-    if (m.endb == m.len_b) {
-      st.offer(fgb[i] + bgb[i] + p1[29] - sub, 6, i);
-    } else {
-      st.offer(fgb[i] + bgb[i] + p1[28] - sub, 6, i);
-    }
+    st.offer(fa[i] + bgb[i] + mt.t3() - sub, 3, i);
+    st.offer(fgb[i] + bgb[i] + mt.t6(m.endb == m.len_b) - sub, 6, i);
   }
   finish_meet(m, st, meet, trans, score);
 }
@@ -759,17 +478,31 @@ void run_align(AlnMem& m) {
   int meet, transition;
   float score;
   if (m.seq1) {
-    fwd_rr(m);
-    bwd_rr(m);
-    meet_rr(m, oc, &meet, &transition, &score);
+    ModeRR fwd{m.seq1, m.seq2 - 1, m.pr->subm,
+               -m.pr->gpo, -m.pr->gpe, -m.pr->tgpe, m.pr->soff};
+    sweep_forward(m, fwd, m.starta, m.enda);
+    ModeRR bwd{m.seq1, m.seq2, m.pr->subm,
+               -m.pr->gpo, -m.pr->gpe, -m.pr->tgpe, m.pr->soff};
+    sweep_backward(m, bwd, m.starta2, m.enda2);
+    MeetRR mt{-m.pr->gpo, -m.pr->gpe, -m.pr->tgpe};
+    meet_combine(m, mt, oc, &meet, &transition, &score);
   } else if (m.prof2) {
-    fwd_pp(m);
-    bwd_pp(m);
-    meet_pp(m, oc, &meet, &transition, &score);
+    ModePP fwd{m.prof1, m.prof2, /*next_off=*/0, /*col_off=*/0};
+    sweep_forward(m, fwd, m.starta, m.enda);
+    ModePP bwd{m.prof1, m.prof2, /*next_off=*/2, /*col_off=*/1};
+    sweep_backward(m, bwd, m.starta2, m.enda2);
+    MeetP mt{m.prof1, m.prof2, 0.0f, oc[4]};
+    meet_combine(m, mt, oc, &meet, &transition, &score);
   } else {
-    fwd_pr(m);
-    bwd_pr(m);
-    meet_pr(m, oc, &meet, &transition, &score);
+    const float open = m.pr->gpo * m.sip;
+    const float ext = m.pr->gpe * m.sip;
+    const float text = m.pr->tgpe * m.sip;
+    ModePR fwd{m.prof1, m.seq2 - 1, -open, -ext, -text, /*next_off=*/0};
+    sweep_forward(m, fwd, m.starta, m.enda);
+    ModePR bwd{m.prof1, m.seq2, -open, -ext, -text, /*next_off=*/2};
+    sweep_backward(m, bwd, m.starta2, m.enda2);
+    MeetP mt{m.prof1, nullptr, -open, oc[4]};
+    meet_combine(m, mt, oc, &meet, &transition, &score);
   }
   if (m.score_only) {
     m.score = score;
