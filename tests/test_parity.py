@@ -30,6 +30,11 @@ CASES = [
     ("big_dna.fa", "big_dna.default.afa", dict(consistency_anchors=5)),
     ("big_dna.fa", "big_dna.rna.afa",
      dict(consistency_anchors=5, type_=P.KALIGN_TYPE_RNA)),
+    ("small.fa", "small.gpo12.afa",
+     dict(consistency_anchors=5, gpo=12.0, gpe=2.0, tgpe=1.5)),
+    ("small.fa", "small.pfasum60.afa",
+     dict(consistency_anchors=5, type_=P.KALIGN_TYPE_PROTEIN_PFASUM60)),
+    ("big_dna.fa", "big_dna.fast.afa", dict(consistency_anchors=0)),
 ]
 
 
@@ -76,6 +81,21 @@ def test_msf_input_matches_fasta_input():
     ra = E.align_msa(a, consistency_anchors=5).aligned_rows()
     rb = E.align_msa(b, consistency_anchors=5).aligned_rows()
     assert ra == rb
+
+
+def test_msf_writer_golden():
+    """MSF writer vs the reference binary's output; the header embeds
+    the output filename and the generation timestamp, so the date field
+    is normalized on both sides before comparing."""
+    import re
+
+    msa = kio.read_inputs([os.path.join(DATA, "BB11001.tfa")])
+    msa = E.align_msa(msa, consistency_anchors=5)
+    out = kio.write_msf(msa, outfile="BB11001.default.msf")
+    ref = open(os.path.join(GOLDEN, "BB11001.default.msf")).read()
+    strip = lambda s: re.sub(
+        r"[A-Z][a-z]+ \d+, \d{4} +\d{2}:\d{2}", "<date>", s)
+    assert strip(out) == strip(ref)
 
 
 def test_clu_writer_golden():
