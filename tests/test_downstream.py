@@ -1,0 +1,63 @@
+"""Smoke + semantics tests for the downstream-impact suite
+(benchmarks/downstream): NJ/Robinson-Foulds machinery, tree-structured
+family simulation, PSSM detection, confidence calibration."""
+
+import numpy as np
+
+from benchmarks.downstream.phylo import (evolve_family, neighbor_joining,
+                                         p_distance_matrix,
+                                         phylo_accuracy_vs_true,
+                                         robinson_foulds)
+from benchmarks.downstream.detection import (build_pssm, detection_auc,
+                                             roc_auc, score_sequence)
+from benchmarks.downstream.calibration import (column_correctness,
+                                               confidence_calibration)
+
+
+def test_nj_recovers_clean_tree():
+    """A noiseless additive distance matrix of a balanced quartet tree
+    must be reconstructed exactly."""
+    #   ((0,1),(2,3)) with unit branches
+    dm = np.array([[0, 2, 4, 4],
+                   [2, 0, 4, 4],
+                   [4, 4, 0, 2],
+                   [4, 4, 2, 0]], float)
+    splits = neighbor_joining(dm)
+    assert frozenset({0, 1}) in splits or frozenset({2, 3}) in splits
+    assert robinson_foulds(splits, {frozenset({0, 1})}, 4) == 0.0
+
+
+def test_evolved_family_tree_recoverable():
+    seqs, true_splits, n = evolve_family(depth=3, length=150, seed=1)
+    assert len(seqs) == 8 and n == 8
+    from kalign_tpu.api import align
+    rows = align(seqs, names=[str(i) for i in range(8)])
+    r = phylo_accuracy_vs_true(rows, true_splits, n)
+    assert r["rf_true"] <= 0.4  # most true splits recovered
+
+
+def test_pssm_detection_separates_decoys():
+    seqs, true_splits, _ = evolve_family(depth=4, length=150, seed=2)
+    from kalign_tpu.api import align
+    rows = align(seqs[:12], names=[str(i) for i in range(12)])
+    r = detection_auc(rows, seqs[12:], rng=np.random.default_rng(0))
+    assert r["auc"] > 0.8
+
+
+def test_roc_auc_basics():
+    assert roc_auc([1.0, 2.0], [0.0, 0.5]) == 1.0
+    assert roc_auc([0.0], [1.0]) == 0.0
+    assert roc_auc([1.0], [1.0]) == 0.5
+
+
+def test_column_correctness_and_calibration():
+    gold = ["AC-D", "A-CD"]
+    # test alignment pairs the C's together (wrong per gold)
+    test = ["ACD", "ACD"]
+    corr = column_correctness(test, gold)
+    assert corr[0] == 1.0        # A-A pair correct
+    assert corr[1] == 0.0        # C-C pair not paired in gold
+    assert corr[2] == 1.0
+    cal = confidence_calibration([0.9, 0.2, 0.8], test, gold, n_bins=2)
+    assert cal["brier"] is not None
+    assert len(cal["bins"]) >= 1
