@@ -27,9 +27,19 @@ def p_distance_matrix(rows):
     return dm
 
 
+def _canon_split(s, n):
+    """Canonical representation of a bipartition: the smaller side, or
+    on equal sizes the side containing leaf 0 (an even split's two
+    sides are the SAME bipartition)."""
+    comp = frozenset(range(n)) - s
+    if len(s) != len(comp):
+        return s if len(s) < len(comp) else comp
+    return s if 0 in s else comp
+
+
 def neighbor_joining(dm):
     """Classic NJ (Saitou & Nei).  Returns the set of non-trivial
-    splits, each a frozenset of leaf indices (the smaller side)."""
+    splits in canonical form (_canon_split)."""
     n = dm.shape[0]
     d = dm.astype(np.float64).copy()
     active = list(range(n))
@@ -46,9 +56,7 @@ def neighbor_joining(dm):
         a, b = active[i_], active[j_]
         merged = leafsets[a] | leafsets[b]
         if 1 < len(merged) < n - 1:
-            side = merged if len(merged) <= n - len(merged) else \
-                frozenset(range(n)) - merged
-            splits.add(side)
+            splits.add(_canon_split(merged, n))
         # distances from the new node
         dn = 0.5 * (d[a, active] + d[b, active] - d[a, b])
         d = np.pad(d, ((0, 1), (0, 1)))
@@ -134,10 +142,7 @@ def evolve_family(depth=4, length=200, sub_p=0.08, indel_p=0.01,
         m = (lo + hi) // 2
         for a, b in ((lo, m), (m, hi)):
             if 1 < b - a < n - 1:
-                s = frozenset(range(a, b))
-                side = s if len(s) <= n - len(s) else \
-                    frozenset(range(n)) - s
-                splits.add(side)
+                splits.add(_canon_split(frozenset(range(a, b)), n))
             subtree(a, b)
 
     subtree(0, n)

@@ -23,7 +23,7 @@ def test_nj_recovers_clean_tree():
                    [4, 4, 0, 2],
                    [4, 4, 2, 0]], float)
     splits = neighbor_joining(dm)
-    assert frozenset({0, 1}) in splits or frozenset({2, 3}) in splits
+    assert splits == {frozenset({0, 1})}
     assert robinson_foulds(splits, {frozenset({0, 1})}, 4) == 0.0
 
 
