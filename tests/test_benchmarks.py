@@ -58,3 +58,17 @@ def test_committed_baseline_is_current_format():
     assert "categories" in b and "summary" in b
     assert {c["category"] for c in b["categories"]} >= {
         "balibase", "dssim-prot-easy", "dssim-prot-hard"}
+
+
+def test_report_renders(tmp_path):
+    from benchmarks import report
+    payload = {"engine": "host", "mode": "default",
+               "summary": {"cases": 1, "mean_sp": 0.9, "mean_tc": 0.8,
+                           "total_wall_s": 1.0},
+               "categories": [{"category": "x", "cases": 1, "mean_sp": 0.9,
+                               "mean_tc": 0.8, "total_wall_s": 1.0}],
+               "results": [{"case": "c", "category": "x", "n_seqs": 4,
+                            "sp": 0.9, "tc": 0.8, "precision": 0.9,
+                            "f1": 0.9, "wall_s": 1.0}]}
+    html_out = report.render(payload)
+    assert "Per category" in html_out and "0.9000" in html_out
