@@ -19,3 +19,4 @@ Run: python -m benchmarks.downstream [--engine host]
 from benchmarks.downstream.phylo import phylo_accuracy          # noqa: F401
 from benchmarks.downstream.detection import detection_auc       # noqa: F401
 from benchmarks.downstream.calibration import confidence_calibration  # noqa: F401
+from benchmarks.downstream.selection import selection_detection        # noqa: F401

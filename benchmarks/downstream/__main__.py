@@ -43,6 +43,17 @@ def main(argv=None):
         trows = align(tseqs, names=tnames, engine=args.engine)
         r["phylo"] = phylo_accuracy_vs_true(trows, true_splits, n_leaves)
 
+        # positive selection: codon family with known selected sites
+        from benchmarks.downstream.selection import (
+            simulate_selected_family, selection_detection)
+        dna, sel_mask, sel_gold, ref_sites = \
+            simulate_selected_family(seed=900 + fam)
+        dnames = [str(i + 1) for i in range(len(dna))]
+        drows = align(dna, names=dnames, engine=args.engine)
+        r["selection"] = selection_detection(drows, sel_mask, ref_sites)
+        r["selection_gold_alignment"] = selection_detection(
+            sel_gold, sel_mask, ref_sites)
+
         # detection: train on the first 16, test on the held-out 8
         train_rows = align(seqs[:16], names=names[:16], engine=args.engine)
         r["detection"] = detection_auc(train_rows, seqs[16:],
@@ -70,10 +81,14 @@ def main(argv=None):
     mean_auc = np.mean([r["detection"]["auc"] for r in results])
     mean_auc_gold = np.mean([r["detection_gold_profile"]["auc"]
                              for r in results])
+    sel_aucs = [r["selection"]["auc"] for r in results
+                if r["selection"]["auc"] is not None]
     print(json.dumps({"summary": True, "families": len(results),
                       "mean_rf": round(float(mean_rf), 4),
                       "mean_detection_auc": round(float(mean_auc), 4),
-                      "gold_profile_auc": round(float(mean_auc_gold), 4)}))
+                      "gold_profile_auc": round(float(mean_auc_gold), 4),
+                      "mean_selection_auc": round(float(np.mean(sel_aucs)), 4)
+                      if sel_aucs else None}))
     return 0
 
 

@@ -61,3 +61,23 @@ def test_column_correctness_and_calibration():
     cal = confidence_calibration([0.9, 0.2, 0.8], test, gold, n_bins=2)
     assert cal["brier"] is not None
     assert len(cal["bins"]) >= 1
+
+
+def test_selection_dnds_detects_selected_sites():
+    from benchmarks.downstream.selection import (simulate_selected_family,
+                                                 selection_detection)
+    dna, mask, gold, ref_sites = simulate_selected_family(seed=3)
+    assert all(g.replace("-", "") == s for g, s in zip(gold, dna))
+    r = selection_detection(gold, mask, ref_sites)
+    assert r["auc"] is not None and r["auc"] > 0.8
+    assert r["mean_dnds_selected"] > r["mean_dnds_neutral"]
+
+
+def test_selection_tool_alignment_end_to_end():
+    from benchmarks.downstream.selection import (simulate_selected_family,
+                                                 selection_detection)
+    from kalign_tpu.api import align
+    dna, mask, gold, ref_sites = simulate_selected_family(seed=4)
+    rows = align(dna, names=[str(i) for i in range(len(dna))])
+    r = selection_detection(rows, mask, ref_sites)
+    assert r["auc"] is not None and r["auc"] > 0.6
