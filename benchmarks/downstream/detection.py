@@ -41,9 +41,6 @@ def score_sequence(pssm, seq):
     n = len(codes)
     if n == 0 or L == 0:
         return 0.0
-    per_pos = np.zeros(n)
-    valid = codes >= 0
-    per_pos[valid] = 0.0
     best = -np.inf
     if n >= L:
         for off in range(0, n - L + 1):

@@ -14,7 +14,6 @@ _CODON_TABLE = {}
 
 
 def _build_table():
-    bases = _BASES
     aas = ("FFLLSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRR"
            "VVVVAAAADDEEGGGG")
     i = 0

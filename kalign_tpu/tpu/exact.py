@@ -515,27 +515,26 @@ class ExactAligner:
             np.float32(eb - sb) / np.float32(2.0) + np.float32(sb))
         thousand = np.float32(1000.0)
 
-        np_err = np.seterr(over="ignore")  # -FLT_MAX sums overflow to
-        # -inf exactly as the reference C does; restore state below.
-        fa, fga, fgb = fst[sb:eb, 0], fst[sb:eb, 1], fst[sb:eb, 2]
-        ba, bga, bgb = bst[sb:eb, 0], bst[sb:eb, 1], bst[sb:eb, 2]
-        idx = np.arange(sb, eb, dtype=np.float32)
-        sub = np.abs(middle - idx) / thousand
-        t3, t7, t6_in, t6_end = self._trans_adds(w)
-        n = eb - sb
-        S = np.empty((n, 6), np.float32)
-        S[:, 0] = (fa + ba) - sub
-        S[:, 1] = ((fa + bga) + self.t2v[sb:eb]) - sub
-        S[:, 2] = ((fa + bgb) + t3) - sub
-        S[:, 3] = ((fga + ba) + self.t5v[sb:eb]) - sub
-        S[:, 4] = ((fgb + bgb) + t6_in) - sub
-        S[:, 5] = ((fgb + ba) + t7) - sub
-        sub_e = np.abs(middle - np.float32(eb)) / thousand
-        f3 = ((fst[eb, 0] + bst[eb, 2]) + t3) - sub_e
-        f6 = ((fst[eb, 2] + bst[eb, 2]) + t6_end) - sub_e
-        flat = np.concatenate([S.ravel(), np.float32([f3, f6])])
+        # -FLT_MAX sums overflow to -inf exactly as the reference C does
+        with np.errstate(over="ignore"):
+            fa, fga, fgb = fst[sb:eb, 0], fst[sb:eb, 1], fst[sb:eb, 2]
+            ba, bga, bgb = bst[sb:eb, 0], bst[sb:eb, 1], bst[sb:eb, 2]
+            idx = np.arange(sb, eb, dtype=np.float32)
+            sub = np.abs(middle - idx) / thousand
+            t3, t7, t6_in, t6_end = self._trans_adds(w)
+            n = eb - sb
+            S = np.empty((n, 6), np.float32)
+            S[:, 0] = (fa + ba) - sub
+            S[:, 1] = ((fa + bga) + self.t2v[sb:eb]) - sub
+            S[:, 2] = ((fa + bgb) + t3) - sub
+            S[:, 3] = ((fga + ba) + self.t5v[sb:eb]) - sub
+            S[:, 4] = ((fgb + bgb) + t6_in) - sub
+            S[:, 5] = ((fgb + ba) + t7) - sub
+            sub_e = np.abs(middle - np.float32(eb)) / thousand
+            f3 = ((fst[eb, 0] + bst[eb, 2]) + t3) - sub_e
+            f6 = ((fst[eb, 2] + bst[eb, 2]) + t6_end) - sub_e
+            flat = np.concatenate([S.ravel(), np.float32([f3, f6])])
 
-        np.seterr(**np_err)
         m1, i1, m2, i2 = _two_max(flat)
 
         def decode(k):
