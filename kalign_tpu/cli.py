@@ -66,6 +66,10 @@ def build_parser():
     p.add_argument("--min-support", type=int, default=0)
     p.add_argument("--save-poar", default=None)
     p.add_argument("--load-poar", default=None)
+    p.add_argument("--save-checkpoint", default=None, metavar="DIR",
+                   help="persist distance/guide-tree artifacts")
+    p.add_argument("--resume-checkpoint", default=None, metavar="DIR",
+                   help="resume from --save-checkpoint artifacts")
     p.add_argument("--consistency", type=int, default=5)
     p.add_argument("--consistency-weight", type=float, default=2.0)
     p.add_argument("--fast", action="store_true")
@@ -198,7 +202,9 @@ def main(argv=None):
                           realign=realign, vsm_amax=args.vsm_amax,
                           consistency_anchors=consistency,
                           consistency_weight=args.consistency_weight,
-                          engine=args.engine)
+                          engine=args.engine,
+                          save_checkpoint=args.save_checkpoint,
+                          resume_checkpoint=args.resume_checkpoint)
 
     if trace_ctx is not None:
         trace_ctx.close()

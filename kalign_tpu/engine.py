@@ -233,8 +233,16 @@ def align_msa(msa: Msa, n_threads: int = 1, type_: int = 0,
               use_seq_weights: float = -1.0,
               consistency_anchors: int = 0, consistency_weight: float = 2.0,
               realign: int = 0,
-              engine: str = "host") -> Msa:
-    """Full alignment pipeline (kalign_run_seeded / kalign_run_realign)."""
+              engine: str = "host",
+              save_checkpoint: Optional[str] = None,
+              resume_checkpoint: Optional[str] = None) -> Msa:
+    """Full alignment pipeline (kalign_run_seeded / kalign_run_realign).
+
+    save_checkpoint=DIR persists the distance/guide-tree artifacts
+    (reference-format task list + distance npz, checkpoint.py) after
+    the tree phase; resume_checkpoint=DIR loads them instead of
+    recomputing distances + tree — the resumable phase boundary the
+    reference exposes through its POAR/task-list files."""
     eng = get_engine(engine, n_threads)
     quiet = msa.quiet
 
@@ -257,10 +265,31 @@ def align_msa(msa: Msa, n_threads: int = 1, type_: int = 0,
     if tree_seed != 0 and tree_noise > 0.0:
         from kalign_tpu.utils.rng import XoshiroRng
         noise_rng = XoshiroRng(tree_seed)
-    log("Calculating pairwise distances", quiet)
-    with timer("Distances + guide tree", quiet):
-        tasks, seq_dist = _build_guide_tree(msa, eng, noise_rng, tree_noise)
+    if resume_checkpoint is not None:
+        import os as _os
+        from kalign_tpu import checkpoint as ckpt
+        tasks = ckpt.read_tasks(_os.path.join(resume_checkpoint,
+                                              "tasks.txt"))
+        _, seq_dist, _ = ckpt.load_distances(
+            _os.path.join(resume_checkpoint, "distances.npz"))
+        if len(tasks) != msa.numseq - 1 or len(seq_dist) != msa.numseq:
+            raise ValueError(
+                "checkpoint does not match the input (expected "
+                f"{msa.numseq} sequences)")
+        log("Resumed distances + guide tree from checkpoint", quiet)
+    else:
+        log("Calculating pairwise distances", quiet)
+        with timer("Distances + guide tree", quiet):
+            tasks, seq_dist = _build_guide_tree(msa, eng, noise_rng,
+                                                tree_noise)
     msa.seq_distances = seq_dist
+    if save_checkpoint is not None:
+        import os as _os
+        from kalign_tpu import checkpoint as ckpt
+        _os.makedirs(save_checkpoint, exist_ok=True)
+        ckpt.write_tasks(tasks, _os.path.join(save_checkpoint, "tasks.txt"))
+        ckpt.save_distances(_os.path.join(save_checkpoint, "distances.npz"),
+                            np.zeros((0, 0), np.float32), seq_dist)
 
     # full alphabet for the DP
     if msa.biotype == BIOTYPE_PROTEIN:

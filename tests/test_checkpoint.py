@@ -93,3 +93,39 @@ def test_resume_from_checkpointed_tree(tmp_path):
 
     gold = open(os.path.join(GOLDEN, "small.default.afa")).read()
     assert kio.write_fasta(msa2) == gold
+
+
+def test_cli_checkpoint_save_resume(tmp_path):
+    """--save-checkpoint then --resume-checkpoint must reproduce the
+    direct run byte-identically while skipping the distance/tree
+    phase."""
+    import os
+    from kalign_tpu import cli
+    from conftest import DATA
+
+    ck = str(tmp_path / "ck")
+    out1 = str(tmp_path / "a.afa")
+    out2 = str(tmp_path / "b.afa")
+    inp = os.path.join(DATA, "small.fa")
+    assert cli.main(["-i", inp, "-o", out1, "-q",
+                     "--save-checkpoint", ck]) == 0
+    assert os.path.exists(os.path.join(ck, "tasks.txt"))
+    assert os.path.exists(os.path.join(ck, "distances.npz"))
+    assert cli.main(["-i", inp, "-o", out2, "-q",
+                     "--resume-checkpoint", ck]) == 0
+    assert open(out1).read() == open(out2).read()
+
+
+def test_resume_checkpoint_mismatch_raises(tmp_path):
+    import os
+    import pytest
+    from kalign_tpu import cli
+    from conftest import DATA
+
+    ck = str(tmp_path / "ck")
+    cli.main(["-i", os.path.join(DATA, "small.fa"), "-o",
+              str(tmp_path / "x.afa"), "-q", "--save-checkpoint", ck])
+    with pytest.raises(ValueError):
+        cli.main(["-i", os.path.join(DATA, "tiny.fa"), "-o",
+                  str(tmp_path / "y.afa"), "-q",
+                  "--resume-checkpoint", ck])
