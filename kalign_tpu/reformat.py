@@ -39,15 +39,26 @@ def clean_names(msa):
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="kalignfmt-tpu")
-    p.add_argument("-i", "--input", dest="infile", action="append")
-    p.add_argument("-o", "--output", dest="outfile", default=None)
-    p.add_argument("-f", "--format", dest="format", default=None)
-    p.add_argument("--rename", action="store_true")
+    p.add_argument("-i", "--input", "--infile", "--in", dest="infile",
+                   action="append")
+    p.add_argument("-o", "--output", "--outfile", "--out", dest="outfile",
+                   default=None)
+    p.add_argument("-f", "--format", "--reformat", dest="format",
+                   default=None)
+    p.add_argument("--rename", "--changename", action="store_true",
+                   dest="rename")
     p.add_argument("--unalign", action="store_true")
     p.add_argument("--clean", action="store_true")
+    p.add_argument("-n", "--nthreads", type=int, default=1)
     p.add_argument("-q", "--quiet", action="store_true")
+    p.add_argument("-v", "-V", "--version", action="store_true",
+                   dest="version")
     p.add_argument("files", nargs="*")
     args = p.parse_args(argv)
+    if args.version:
+        from kalign_tpu.version import __version__
+        print(f"kalignfmt-tpu {__version__}")
+        return 0
 
     infiles = list(args.infile or []) + list(args.files)
     if not infiles:
