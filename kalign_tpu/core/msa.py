@@ -173,6 +173,17 @@ class Msa:
                 raise ValueError(f"only {self.numseq} sequences found.")
             self.set_sip_nsip()
 
+    def shuffle_seq(self, rng):
+        """Reference msa_shuffle_seq (msa_sort.c:46-58): in-place
+        sequence shuffle driven by the xoshiro RNG — note the
+        reference's double-modulo quirk (tl_random_int(n) % (n-i))."""
+        n = self.numseq
+        for i in range(n - 1):
+            r = rng.random_int(n)
+            j = i + r % (n - i)
+            self.sequences[i], self.sequences[j] = \
+                self.sequences[j], self.sequences[i]
+
     def sort_len_name(self):
         """Sort length DESC then name ASC (``msa_sort.c:62-80``)."""
         def cmp(a: MsaSeq, b: MsaSeq) -> int:

@@ -110,3 +110,20 @@ def test_glibc_msort_tie_behavior():
     # comparator that never returns 0 on equal keys (like sort_by_len)
     out = glibc_msort(items, lambda x, y: -1 if x[0] > y[0] else 1)
     assert [k for k, _ in out] == [3, 3, 3, 2, 1]
+
+
+def test_shuffle_seq_reference_semantics():
+    """msa_shuffle_seq replica (msa_sort.c:46-58): deterministic under
+    the xoshiro RNG and a permutation of the input."""
+    from kalign_tpu.core.msa import Msa
+    from kalign_tpu.utils.rng import XoshiroRng
+
+    names = [f"s{i}" for i in range(8)]
+    msa = Msa.from_sequences(["ACDEF"] * 8, names)
+    msa.shuffle_seq(XoshiroRng(7))
+    order1 = [sq.name for sq in msa.sequences]
+    assert sorted(order1) == sorted(names)
+
+    msa2 = Msa.from_sequences(["ACDEF"] * 8, names)
+    msa2.shuffle_seq(XoshiroRng(7))
+    assert [sq.name for sq in msa2.sequences] == order1
