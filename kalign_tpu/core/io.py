@@ -29,6 +29,7 @@ from kalign_tpu.version import KALIGN_COMPAT_VERSION
 FORMAT_FA = 0
 FORMAT_MSF = 1
 FORMAT_CLU = 2
+FORMAT_STO = 3
 FORMAT_DETECT_FAIL = 3
 
 MSA_NAME_LEN = 256
@@ -62,6 +63,11 @@ def detect_format(lines: List[str]) -> int:
         if ("!!AA_MULTIPLE_ALIGNMENT" in line or "!!NA_MULTIPLE_ALIGNMENT" in line
                 or "MSF:" in line):
             hints[1] += 1
+    # Stockholm is unambiguous from its header (capability beyond the
+    # reference, which has no Stockholm reader)
+    for line in lines[:2]:
+        if line.startswith("# STOCKHOLM"):
+            return FORMAT_STO
     nset = sum(1 for h in hints if h)
     if nset == 0 or nset > 1:
         fmt = FORMAT_DETECT_FAIL
@@ -188,6 +194,39 @@ def read_msf_lines(lines: List[str]) -> Msa:
     return msa
 
 
+def read_stockholm_lines(lines: List[str]) -> Msa:
+    """Stockholm 1.0 reader (sequence lines + multi-block continuation;
+    #= annotation lines are skipped, // terminates).  The reference has
+    no Stockholm reader; the writer lives in kalign_tpu/io.py."""
+    msa = Msa()
+    order: List[str] = []
+    parts = {}
+    for line in lines:
+        if line.startswith("//"):
+            break
+        if not line or line.startswith("#"):
+            continue
+        bits = line.split(None, 1)
+        if len(bits) != 2:
+            continue
+        name, chunk = bits[0], bits[1].replace(" ", "")
+        if name not in parts:
+            parts[name] = []
+            order.append(name)
+        parts[name].append(chunk)
+    if not order:
+        raise ValueError("No sequences were found in the input.")
+    for name in order:
+        sq = MsaSeq(name=name[:MSA_NAME_LEN - 1])
+        sq.gaps = [0]
+        residues: List[str] = []
+        _scan_residues(msa, sq, residues, "".join(parts[name]))
+        sq.seq = "".join(residues)
+        sq.len = len(sq.seq)
+        msa.sequences.append(sq)
+    return msa
+
+
 def read_alignment_text(text: str) -> Msa:
     lines = _clean_lines(text)
     if not lines or (len(lines[0]) == 0):
@@ -199,6 +238,8 @@ def read_alignment_text(text: str) -> Msa:
         msa = read_msf_lines(lines)
     elif fmt == FORMAT_CLU:
         msa = read_clu_lines(lines)
+    elif fmt == FORMAT_STO:
+        msa = read_stockholm_lines(lines)
     else:
         raise ValueError("Could not detect input format.")
     msa.detect_alphabet()
@@ -326,6 +367,17 @@ def format_alignment(msa: Msa, fmt: Optional[str] = None, outfile: Optional[str]
         return write_clu(msa)
     if "fa" in fmt:
         return write_fasta(msa)
+    if "sto" in fmt:
+        import io as _io
+        from kalign_tpu.io import write_stockholm
+        buf = _io.StringIO()
+        conf = [sq.confidence for sq in msa.sequences]
+        write_stockholm([sq.seq for sq in msa.sequences], buf,
+                        ids=[sq.name for sq in msa.sequences],
+                        column_confidence=msa.col_confidence,
+                        residue_confidence=conf
+                        if any(c is not None for c in conf) else None)
+        return buf.getvalue()
     raise ValueError(f"Format {fmt} not recognized.")
 
 

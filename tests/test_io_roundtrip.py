@@ -54,3 +54,44 @@ def test_truncated_msf_does_not_crash():
     except ValueError:
         return  # acceptable: clean error
     assert msa.numseq >= 0
+
+
+def test_stockholm_reader_roundtrip(tmp_path):
+    """Stockholm read capability (beyond the reference, which only
+    writes it): writer -> reader round trip incl. PP annotation lines
+    and multi-block continuation."""
+    from kalign_tpu.core import io as kio
+
+    sto = (
+        "# STOCKHOLM 1.0\n"
+        "#=GF ID test\n"
+        "seq1   ACDE-FG\n"
+        "seq2   ACDEQFG\n"
+        "#=GR seq1 PP 99999.9\n"
+        "\n"
+        "seq1   HIK\n"
+        "seq2   H-K\n"
+        "#=GC PP_cons 999\n"
+        "//\n")
+    p = tmp_path / "t.sto"
+    p.write_text(sto)
+    m = kio.read_alignment(str(p))
+    assert [sq.name for sq in m.sequences] == ["seq1", "seq2"]
+    if m.aligned == 2:
+        m.finalise()
+    rows = m.aligned_rows()
+    assert rows == ["ACDE-FGHIK", "ACDEQFGH-K"]
+
+
+def test_stockholm_via_format_alignment(tmp_path):
+    from kalign_tpu.api import align, write_alignment
+    from kalign_tpu.core import io as kio
+
+    rows = align(["ACDEFGHIK", "ACDEFGIK", "CDEFGHIK"],
+                 names=["a", "b", "c"])
+    out = tmp_path / "x.sto"
+    write_alignment(rows, str(out), fmt="stockholm", names=["a", "b", "c"])
+    m = kio.read_alignment(str(out))
+    if m.aligned == 2:
+        m.finalise()
+    assert m.aligned_rows() == rows
