@@ -50,12 +50,13 @@ def test_column_identical(inp, gold, kw):
 # The bit-exact device engine (engine="tpu": native orchestration, all
 # Hirschberg DP via the tpu/exact.py segmented wavefront) must hit the
 # same byte-parity bar.  The four large cases take 70-150 s each on the
-# CPU test backend and run under -m slow (all 13 verified identical).
-_TPU_FAST_N = 9
+# CPU test backend and run under -m slow (all 16 verified identical).
+_TPU_QUICK = CASES[:9] + CASES[13:15]   # + custom penalties / PFASUM60
+_TPU_LARGE = CASES[9:13] + CASES[15:]
 
 
-@pytest.mark.parametrize("inp,gold,kw", CASES[:_TPU_FAST_N],
-                         ids=[c[1] for c in CASES[:_TPU_FAST_N]])
+@pytest.mark.parametrize("inp,gold,kw", _TPU_QUICK,
+                         ids=[c[1] for c in _TPU_QUICK])
 def test_column_identical_tpu_engine(inp, gold, kw):
     msa = kio.read_inputs([os.path.join(DATA, inp)])
     msa = E.align_msa(msa, engine="tpu", **kw)
@@ -65,8 +66,8 @@ def test_column_identical_tpu_engine(inp, gold, kw):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("inp,gold,kw", CASES[_TPU_FAST_N:],
-                         ids=[c[1] for c in CASES[_TPU_FAST_N:]])
+@pytest.mark.parametrize("inp,gold,kw", _TPU_LARGE,
+                         ids=[c[1] for c in _TPU_LARGE])
 def test_column_identical_tpu_engine_large(inp, gold, kw):
     msa = kio.read_inputs([os.path.join(DATA, inp)])
     msa = E.align_msa(msa, engine="tpu", **kw)
@@ -117,3 +118,18 @@ def test_alignment_invariants():
     assert len(rows[0]) > 0
     for sq in msa.sequences:
         assert sq.seq.replace("-", "") == originals[sq.name]
+
+
+@pytest.mark.slow
+def test_precise_ensemble_byte_parity_tpu_engine():
+    """--precise (3-run ensemble + realign) byte-parity with the
+    reference binary THROUGH the bit-exact device engine: every DP of
+    every ensemble run goes over the accelerator hook."""
+    from kalign_tpu.ensemble import ensemble_align
+
+    msa = kio.read_inputs([os.path.join(DATA, "small.fa")])
+    msa.quiet = True
+    out = ensemble_align(msa, n_runs=3, realign=1, consistency_anchors=5,
+                         engine="tpu")
+    ref = open(os.path.join(GOLDEN, "small.precise.afa")).read()
+    assert kio.write_fasta(out) == ref
