@@ -167,6 +167,12 @@ class ExactTpuEngine(HostEngine):
             return super().align(codes, tasks, ap, seq_distances,
                                  refine_mode=refine_mode,
                                  cons_seq_distances=cons_seq_distances)
+        except RuntimeError as e:
+            if self.backend.last_error:
+                raise RuntimeError(
+                    "device DP backend failed:\n"
+                    + self.backend.last_error) from e
+            raise
         finally:
             self.backend.uninstall()
 
