@@ -26,7 +26,9 @@
 
 namespace kt {
 
-static const int kSerialThreshold = 250; /* KALIGN_ALN_SERIAL_THRESHOLD */
+/* The reference's KALIGN_ALN_SERIAL_THRESHOLD=250 only gates its OpenMP
+ * task spawning (aln_controller.c:31-33); the recursion itself is
+ * identical either way, so no threshold is needed here. */
 
 void AlnMem::ensure(int la, int lb) {
   len_a = la;

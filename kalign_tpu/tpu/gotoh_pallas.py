@@ -90,10 +90,6 @@ def pick_plan(B: int, L2p: int, vmem_budget: int = 9 * 2**20):
     return 8, 1, False
 
 
-def pick_bt(B: int, L2p: int, vmem_budget: int = 12 * 2**20) -> int:
-    return pick_plan(B, L2p, vmem_budget)[0]
-
-
 def _cummax_axis1(x, n):
     """In-row prefix max via log-step masked rolls.
 
