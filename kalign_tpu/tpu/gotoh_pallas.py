@@ -93,13 +93,18 @@ def pick_plan(B: int, L2p: int, vmem_budget: int = 9 * 2**20):
 def _cummax_axis1(x, n):
     """In-row prefix max via log-step masked rolls.
 
-    (A [BT, W/128, 128] grouped-roll variant measured 2x SLOWER on chip
-    — the 3-D reshape relayouts dominate; full-width rolls it is.)"""
+    Wraparound lanes are suppressed by ADDING a precomputed {0, NEG}
+    vector to the rolled value instead of compare+where: one op fewer
+    per scan step (~9 steps/row), and value-identical — a wrapped lane
+    becomes <= NEG and can never win the max against any reachable DP
+    value.  (A [BT, W/128, 128] grouped-roll variant measured 2x
+    SLOWER on chip — the 3-D reshape relayouts dominate.)"""
     k = 1
-    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, x.shape[1]), 1)
     while k < n:
         rolled = pltpu.roll(x, k, axis=1)
-        x = jnp.maximum(x, jnp.where(idx >= k, rolled, NEG))
+        mask = jnp.where(idx >= k, 0.0, NEG)   # constant-folded per k
+        x = jnp.maximum(x, rolled + mask)
         k *= 2
     return x
 
