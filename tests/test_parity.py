@@ -133,3 +133,39 @@ def test_precise_ensemble_byte_parity_tpu_engine():
                          engine="tpu")
     ref = open(os.path.join(GOLDEN, "small.precise.afa")).read()
     assert kio.write_fasta(out) == ref
+
+
+_REFBIN = os.path.join(os.path.dirname(DATA), "..", ".refbuild", "src",
+                       "kalign")
+
+
+@pytest.mark.skipif(not os.path.exists(_REFBIN),
+                    reason="reference binary not built (.refbuild)")
+@pytest.mark.parametrize("dna,n_seq,length,seed", [
+    (False, 24, 180, 71), (True, 20, 240, 72), (False, 40, 120, 73),
+])
+def test_fresh_input_matches_reference_binary(tmp_path, dna, n_seq,
+                                              length, seed):
+    """Anti-overfitting guard: parity on inputs that are NOT part of
+    the committed golden set — simulated families aligned by the
+    locally built reference binary vs both exact engines."""
+    import subprocess
+
+    from kalign_tpu.dssim import generate_test_sequences
+
+    seqs, names = generate_test_sequences(n_seq, 10, dna, length,
+                                          seed=seed)
+    inp = tmp_path / "in.fa"
+    inp.write_text("".join(f">{n}\n{s}\n" for n, s in zip(names, seqs)))
+    ref_out = tmp_path / "ref.afa"
+    r = subprocess.run([_REFBIN, "-i", str(inp), "-o", str(ref_out),
+                        "-q"], capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-500:]
+    ref = ref_out.read_text()
+
+    for engine in ("host", "tpu"):
+        msa = kio.read_inputs([str(inp)])
+        msa.quiet = True
+        out = kio.write_fasta(E.align_msa(msa, consistency_anchors=5,
+                                          engine=engine))
+        assert out == ref, f"engine={engine} diverged on fresh input"
