@@ -85,7 +85,7 @@ def build_parser():
     p.add_argument("-q", "--quiet", action="store_true")
     p.add_argument("-v", "-V", "--version", action="store_true", dest="version")
     p.add_argument("--engine", default=os.environ.get("KALIGN_TPU_ENGINE", "host"),
-                   choices=["host", "tpu", "tpu-fast", "tpu-mesh"])
+                   choices=["host", "tpu", "tpu-fast", "tpu-mesh", "auto"])
     p.add_argument("--trace", default=None, metavar="DIR",
                    help="capture a jax.profiler device trace of the "
                         "alignment into DIR (open with TensorBoard / "

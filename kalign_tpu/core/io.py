@@ -29,7 +29,7 @@ from kalign_tpu.version import KALIGN_COMPAT_VERSION
 FORMAT_FA = 0
 FORMAT_MSF = 1
 FORMAT_CLU = 2
-FORMAT_STO = 3
+FORMAT_STO = 4
 FORMAT_DETECT_FAIL = 3
 
 MSA_NAME_LEN = 256

@@ -177,6 +177,23 @@ class ExactTpuEngine(HostEngine):
             self.backend.uninstall()
 
 
+def resolve_auto_engine(msa: Optional[Msa] = None) -> str:
+    """engine="auto" policy: the throughput device engine when an
+    accelerator is attached and the problem is big enough to amortize
+    launch latency; the native host engine otherwise (it is
+    byte-identical and faster on small inputs)."""
+    try:
+        import jax
+        has_device = jax.default_backend() not in ("cpu",)
+    except Exception:
+        has_device = False
+    if not has_device:
+        return "host"
+    if msa is not None and msa.numseq < 256:
+        return "host"
+    return "tpu-fast"
+
+
 def get_engine(name: str = "host", n_threads: int = 1, mesh=None):
     """'host' = native C++ core; 'tpu' = bit-exact device engine (DP on
     the accelerator, column-identical to the reference); 'tpu-fast' =
@@ -243,12 +260,16 @@ def align_msa(msa: Msa, n_threads: int = 1, type_: int = 0,
               save_checkpoint: Optional[str] = None,
               resume_checkpoint: Optional[str] = None) -> Msa:
     """Full alignment pipeline (kalign_run_seeded / kalign_run_realign).
+    engine="auto" resolves via resolve_auto_engine (device + problem
+    size aware).
 
     save_checkpoint=DIR persists the distance/guide-tree artifacts
     (reference-format task list + distance npz, checkpoint.py) after
     the tree phase; resume_checkpoint=DIR loads them instead of
     recomputing distances + tree — the resumable phase boundary the
     reference exposes through its POAR/task-list files."""
+    if engine == "auto":
+        engine = resolve_auto_engine(msa)
     eng = get_engine(engine, n_threads)
     quiet = msa.quiet
 
@@ -378,6 +399,8 @@ def post_realign_msa(msa: Msa, n_threads: int = 1, type_: int = 0,
         raise ValueError("Need at least 1 realign iteration")
     if msa.aligned not in (2, 3):  # ALIGNED or FINAL
         raise ValueError("post_realign requires an aligned MSA")
+    if engine == "auto":
+        engine = resolve_auto_engine(msa)
     eng = get_engine(engine, n_threads)
     quiet = msa.quiet
 

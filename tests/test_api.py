@@ -148,3 +148,45 @@ def test_stdin_like_multiple_inputs(tmp_path):
     p2.write_text(">z\nMKVLGTFLW\n")
     msa = cio.read_inputs([str(p1), str(p2)])
     assert msa.numseq == 3
+
+
+def test_auto_engine_resolves():
+    """engine="auto": host on CPU-only backends / small inputs; the
+    policy function is device-aware."""
+    from kalign_tpu.core.msa import Msa
+    from kalign_tpu.engine import align_msa, resolve_auto_engine
+
+    m = Msa.from_sequences(["ACDEFGHIK", "ACDEFGIK", "CDEFGHIK"],
+                           ["a", "b", "c"])
+    assert resolve_auto_engine(m) == "host"   # CPU backend in tests
+    m.quiet = True
+    out = align_msa(m, engine="auto")
+    rows = out.aligned_rows()
+    assert len(set(len(r) for r in rows)) == 1
+
+
+def test_garbage_inputs_fail_cleanly():
+    """Robustness fuzz: hostile inputs must raise clean ValueErrors,
+    never crash (reference test_error_handling.py intent)."""
+    import pytest
+    from kalign_tpu.api import align
+
+    for bad in ([], [""], ["ACGT", ""], ["123"], ["AC\x00GT", "ACGT"],
+                ["\n\n"], ["-"]):
+        with pytest.raises((ValueError, TypeError)):
+            align(bad)
+
+
+def test_garbage_files_fail_cleanly(tmp_path):
+    import pytest
+    from kalign_tpu.core import io as kio
+
+    for i, content in enumerate((
+            "", "\x00\x01\x02", ">only_header_no_seq\n",
+            "random text\nwithout format\n",
+            "CLUSTAL W\n\n")):
+        p = tmp_path / f"bad{i}.fa"
+        p.write_text(content)
+        with pytest.raises((ValueError, RuntimeError)):
+            m = kio.read_inputs([str(p)])
+            m.essential_input_check()
