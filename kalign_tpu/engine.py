@@ -191,7 +191,8 @@ def resolve_auto_engine(msa: Optional[Msa] = None) -> str:
         return "host"
     if msa is not None and msa.numseq < 256:
         return "host"
-    return "tpu-fast"
+    import jax
+    return "tpu-mesh" if len(jax.devices()) > 1 else "tpu-fast"
 
 
 def get_engine(name: str = "host", n_threads: int = 1, mesh=None):
