@@ -495,12 +495,15 @@ class ExactAligner:
         plans = self._build_plans(wins)
         key = (self.VR, self.Cpad, self.Wmax, self.use_chain)
         fn = _sweep_batch(key)
-        out = np.asarray(fn({k: jnp.asarray(v) for k, v in plans.items()}))
+        out_dev = fn({k: jnp.asarray(v) for k, v in plans.items()})
+        # fetch only the live windows' columns (the padded out buffer is
+        # Wmax x Cpad; on remote devices the transfer dominates)
         lb = self.lb
+        out = np.asarray(out_dev[:, :len(wins), :lb + 1])
         res = []
         for slot, w in enumerate(wins):
-            fst = out[0, slot][:lb + 1]           # global-j indexed
-            bst = out[1, slot][:lb + 1][::-1]     # un-reverse q -> j
+            fst = out[0, slot]                    # global-j indexed
+            bst = out[1, slot][::-1]              # un-reverse q -> j
             res.append((fst, bst))
         return res
 
