@@ -169,3 +169,36 @@ def test_fresh_input_matches_reference_binary(tmp_path, dna, n_seq,
         out = kio.write_fasta(E.align_msa(msa, consistency_anchors=5,
                                           engine=engine))
         assert out == ref, f"engine={engine} diverged on fresh input"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(_REFBIN),
+                    reason="reference binary not built (.refbuild)")
+@pytest.mark.parametrize("flags,kw", [
+    (["--fast"], dict(consistency_anchors=0)),
+    (["--refine", "all"], dict(consistency_anchors=5, refine=1)),
+    (["--refine", "confident"], dict(consistency_anchors=5, refine=2)),
+    (["--realign", "1"], dict(consistency_anchors=5, realign=1)),
+    (["--type", "divergent"], dict(consistency_anchors=5, type_=5)),
+], ids=["fast", "refall", "refconf", "realign", "divergent"])
+def test_fresh_input_mode_surface_vs_reference(tmp_path, flags, kw):
+    """Mode-surface parity on a non-committed input: the reference
+    binary with CLI flags vs align_msa through both exact engines."""
+    import subprocess
+
+    from kalign_tpu.dssim import generate_test_sequences
+
+    seqs, names = generate_test_sequences(16, 10, False, 150, seed=99)
+    inp = tmp_path / "in.fa"
+    inp.write_text("".join(f">{n}\n{s}\n" for n, s in zip(names, seqs)))
+    ref_out = tmp_path / "ref.afa"
+    r = subprocess.run([_REFBIN, "-i", str(inp), "-o", str(ref_out),
+                        "-q"] + flags, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-500:]
+    ref = ref_out.read_text()
+
+    for engine in ("host", "tpu"):
+        msa = kio.read_inputs([str(inp)])
+        msa.quiet = True
+        out = kio.write_fasta(E.align_msa(msa, engine=engine, **kw))
+        assert out == ref, f"engine={engine} diverged ({flags})"
