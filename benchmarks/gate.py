@@ -28,14 +28,20 @@ def compare(results, baseline, tolerance):
                 failures.append(
                     f"{cat['category']}: {metric} {cur:.4f} < "
                     f"{ref:.4f} - {tolerance:.0%}")
+    return failures
+
+
+def wall_warnings(results, baseline, tolerance):
+    """Wall time is machine-dependent (a CI runner is slower and
+    noisier than the box that produced the committed baseline), so it
+    warns by default; gate it with --gate-time on stable hardware."""
     bs = baseline.get("summary", {})
     rs = results.get("summary", {})
     if bs.get("total_wall_s") and rs.get("total_wall_s"):
         if rs["total_wall_s"] > bs["total_wall_s"] * (1.0 + 2 * tolerance):
-            failures.append(
-                f"total_wall_s {rs['total_wall_s']} > "
-                f"{bs['total_wall_s']} + {2 * tolerance:.0%}")
-    return failures
+            return [f"total_wall_s {rs['total_wall_s']} > "
+                    f"{bs['total_wall_s']} + {2 * tolerance:.0%}"]
+    return []
 
 
 def main(argv=None):
@@ -43,6 +49,8 @@ def main(argv=None):
     p.add_argument("results")
     p.add_argument("baseline")
     p.add_argument("--tolerance", type=float, default=0.05)
+    p.add_argument("--gate-time", action="store_true",
+                   help="treat wall-time regressions as failures too")
     p.add_argument("--update", action="store_true",
                    help="rewrite the baseline from the results file")
     args = p.parse_args(argv)
@@ -59,6 +67,12 @@ def main(argv=None):
         return 0
     baseline = json.load(open(args.baseline))
     failures = compare(results, baseline, args.tolerance)
+    warns = wall_warnings(results, baseline, args.tolerance)
+    if args.gate_time:
+        failures += warns
+    elif warns:
+        for w in warns:
+            print("WARNING (not gated):", w)
     if failures:
         print("REGRESSION GATE FAILED:")
         for f in failures:

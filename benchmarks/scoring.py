@@ -24,7 +24,6 @@ def score_kalign(seqs, names, gold_rows, gold_names, mode="default",
                 engine=engine, n_threads=n_threads)
     wall = time.time() - t0
     d = _detailed(gold_rows, gold_names, out, names)
-    cells = sum(len(s) for s in seqs) ** 2 / max(len(seqs), 1)
     return dict(wall_s=round(wall, 3), sp=round(d.recall, 4),
                 tc=round(d.tc, 4), precision=round(d.precision, 4),
                 f1=round(d.f1, 4), alnlen=len(out[0]) if out else 0)

@@ -400,6 +400,11 @@ def post_realign_msa(msa: Msa, n_threads: int = 1, type_: int = 0,
         raise ValueError("Need at least 1 realign iteration")
     if msa.aligned not in (2, 3):  # ALIGNED or FINAL
         raise ValueError("post_realign requires an aligned MSA")
+    widths = {sq.len + sum(sq.gaps) for sq in msa.sequences}
+    if len(widths) > 1:  # UNKNOWN shares FINAL's value in the reference
+        raise ValueError(
+            "post_realign requires equal-length aligned rows "
+            f"(got widths {sorted(widths)})")
     if engine == "auto":
         engine = resolve_auto_engine(msa)
     eng = get_engine(engine, n_threads)

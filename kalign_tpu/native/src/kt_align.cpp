@@ -428,6 +428,7 @@ struct Engine {
      Thread-safe across edges of one tree level: every touched node
      (a, b, c and their member sequences) is disjoint between edges. */
   void align_edge_mt(int task_id, AlnMem& m) {
+    if (g_dp_error) return;
     const int a = tasks[task_id][0];
     const int b = tasks[task_id][1];
     const int c = tasks[task_id][2];
@@ -447,6 +448,7 @@ struct Engine {
     setup_bonus_mt(a, b, len_a, len_b, bonus_store, m);
 
     dispatch_mt(a, b, len_a, len_b, m);
+    if (g_dp_error) return;
 
     confidence[task_id] =
         m.margin_count > 0 ? m.margin_sum / (float)m.margin_count : 0.0f;
@@ -460,6 +462,7 @@ struct Engine {
   /* inline refine: n trials per merge, keep best SP
      (do_align_inline_refine, aln_run.c:514-784) */
   void align_edge_inline(int task_id, int n_trials) {
+    if (g_dp_error) return;
     const int a = tasks[task_id][0];
     const int b = tasks[task_id][1];
     const int c = tasks[task_id][2];
@@ -489,6 +492,7 @@ struct Engine {
         mem.flip_counter = 0;
       }
       dispatch(a, b, len_a, len_b);
+      if (g_dp_error) return;
       path_to_steps_default(mem);
       float sp = sp_score_groups(seqs, lens, gaps, eff, mem.path.data(),
                                  sip[a], sip[b]);
@@ -509,6 +513,7 @@ struct Engine {
 
   /* two-pass refinement edge (refine_edge, aln_refine.c:88-346) */
   void refine_edge(int task_id) {
+    if (g_dp_error) return;
     const int a = tasks[task_id][0];
     const int b = tasks[task_id][1];
     const int c = tasks[task_id][2];
@@ -552,6 +557,7 @@ struct Engine {
         mem.flip_counter = 0;
       }
       dispatch(a, b, len_a, len_b);
+      if (g_dp_error) return;
       path_to_steps_fixed(mem);
       float sp = sp_score_groups(seqs, lens, gaps, eff, mem.path.data(),
                                  sip[a], sip[b]);
@@ -590,6 +596,7 @@ struct Engine {
   /* replay edge during two-pass refinement (replay_edge,
      aln_refine.c:351-497) — single trial, fixed path converter */
   void replay_edge(int task_id) {
+    if (g_dp_error) return;
     const int a = tasks[task_id][0];
     const int b = tasks[task_id][1];
     const int c = tasks[task_id][2];
@@ -609,6 +616,7 @@ struct Engine {
     setup_bonus(a, b, len_a, len_b, bonus_store);
 
     dispatch(a, b, len_a, len_b);
+    if (g_dp_error) return;
     mem.bonus = nullptr;
     confidence[task_id] =
         mem.margin_count > 0 ? mem.margin_sum / (float)mem.margin_count : 0.0f;
@@ -740,6 +748,7 @@ struct Engine {
         pm.prof2 = nullptr;
         pm.init_window();
         invoke_dp(pm);
+        if (g_dp_error) return;
         if (swapped) {
           mirror_path(pm, len_i, len_j);
           pm.len_a = len_i;
@@ -820,21 +829,26 @@ extern "C" int32_t kt_align_msa(const uint8_t* flat, const int64_t* off,
   eng.seq_distances = seq_distances;
   eng.adaptive_budget = adaptive_budget;
 
+  kt::g_dp_error = 0;
   if (consistency_anchors > 0) {
     eng.build_consistency(consistency_anchors, consistency_weight,
                           cons_seq_distances ? cons_seq_distances
                                              : seq_distances);
+    if (kt::g_dp_error) return -1;
   }
 
   /* first pass: progressive alignment in tree order (post-order labels
      guarantee children precede parents when sorted by c).  Edges within
      one tree level touch disjoint nodes and run in parallel (the
      reference's OpenMP task recursion, aln_run.c:65-109). */
-  kt::g_dp_error = 0;
   if (refine_mode == 3) {
-    for (int t = 0; t < n_tasks; t++) eng.align_edge_inline(t, 3);
+    for (int t = 0; t < n_tasks && !kt::g_dp_error; t++) {
+      eng.align_edge_inline(t, 3);
+    }
   } else if (n_threads <= 1 || kt::g_dp_hook != nullptr) {
-    for (int t = 0; t < n_tasks; t++) eng.align_edge(t);
+    for (int t = 0; t < n_tasks && !kt::g_dp_error; t++) {
+      eng.align_edge(t);
+    }
   } else {
     std::vector<int> level(2 * numseq - 1, 0);
     std::vector<std::vector<int>> levels;
@@ -866,12 +880,14 @@ extern "C" int32_t kt_align_msa(const uint8_t* flat, const int64_t* off,
     }
   }
 
+  if (kt::g_dp_error) return -1;
+
   /* second pass: two-pass refinement */
   if (refine_mode == 1 || refine_mode == 2) {
     float threshold = 0.0f;
     if (refine_mode == 2) threshold = eng.confidence_median();
     eng.clean_alignment_state();
-    for (int t = 0; t < n_tasks; t++) {
+    for (int t = 0; t < n_tasks && !kt::g_dp_error; t++) {
       bool do_refine = refine_mode == 1 ||
                        (refine_mode == 2 && eng.confidence[t] <= threshold);
       if (do_refine) {

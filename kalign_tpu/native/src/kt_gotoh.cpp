@@ -116,7 +116,7 @@ struct ModePR {
   const float* prof;           /* operand A profile, global blocks */
   const uint8_t* col_seq;
   float neg_open, neg_ext, neg_text; /* scalars scaled by sip */
-  int next_off;                /* +1 fwd (p1[-37] = prev block), -1 bwd */
+  int next_off;                /* 0 fwd (dgb from block i), 2 bwd (block i+2) */
   const float* row_blk = nullptr;
   const float* row_dgb = nullptr;
 
@@ -144,7 +144,7 @@ struct ModePR {
 struct ModePP {
   const float* prof_a;
   const float* prof_b;
-  int next_off;                /* +1 fwd, -1 bwd (diagonal close side) */
+  int next_off;                /* 0 fwd, 2 bwd (row/col diagonal-close blocks) */
   int col_off;                 /* 0 fwd, +1 bwd */
   const float* row_blk = nullptr;
   const float* row_dgb = nullptr;

@@ -230,7 +230,8 @@ class ExactAligner:
 
     def __init__(self, mode, seq1, seq2, prof1, prof2, len_a, len_b, sip,
                  subm, gpo, gpe, tgpe, soff, bonus,
-                 flip_threshold=0.0, flip_trial=0, flip_stride=1):
+                 flip_threshold=0.0, flip_trial=0, flip_stride=1,
+                 bstride=None):
         import jax.numpy as jnp  # noqa: F401  (ensure jax importable)
         self.mode = mode
         self.la, self.lb = len_a, len_b
@@ -282,7 +283,8 @@ class ExactAligner:
         self.matchB_r = mB[:, ::-1].copy() if mode != 2 else mB
 
         if bonus is not None:
-            bg = bonus[(np.arange(la)[:, None] * lb +
+            stride = lb if bstride is None else int(bstride)
+            bg = bonus[(np.arange(la)[:, None] * stride +
                         np.arange(C + 1)[None, :]).ravel()].reshape(la, C + 1)
         else:
             bg = z((la, C + 1), f32)
@@ -713,11 +715,13 @@ class ExactDpBackend:
             p1 = f32(prof1, (la + 2) * 64) if mode != 0 else None
             p2 = f32(prof2, (lb + 2) * 64) if mode == 2 else None
             sm = f32(subm, 529).reshape(23, 23) if mode == 0 else None
-            bon = f32(bonus, la * lb + 1) if bonus else None
+            bstride = int(bstride)
+            bon = f32(bonus, la * bstride + 1) if bonus else None
 
             aln = ExactAligner(mode, s1, s2, p1, p2, la, lb, int(sip),
                                sm, gpo, gpe, tgpe, soff, bon,
-                               flip_threshold, flip_trial, flip_stride)
+                               flip_threshold, flip_trial, flip_stride,
+                               bstride=bstride)
             path = np.ctypeslib.as_array(
                 ctypes.cast(path_out, _i32p), shape=(la + 2,))
             msum, mcount, mlist = aln.run(path)

@@ -8,6 +8,7 @@ import subprocess
 
 from setuptools import setup
 from setuptools.command.build_py import build_py
+from setuptools.dist import Distribution
 
 
 class BuildNative(build_py):
@@ -16,4 +17,13 @@ class BuildNative(build_py):
         super().run()
 
 
-setup(cmdclass={"build_py": BuildNative})
+class BinaryDistribution(Distribution):
+    """The wheel carries a compiled C++ shared library: force a
+    platform tag (a py3-none-any wheel would ship a linux-x86_64 ELF
+    to every platform)."""
+
+    def has_ext_modules(self):
+        return True
+
+
+setup(cmdclass={"build_py": BuildNative}, distclass=BinaryDistribution)

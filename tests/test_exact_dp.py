@@ -94,3 +94,58 @@ def test_exact_matches_native_oracle(setup, mode):
             f"path mismatch mode={mode} trial={trial}"
         assert np.float32(msum) == info_ref[0]
         assert mcount == int(info_ref[1])
+
+
+def test_failing_hook_raises_cleanly():
+    """A DP backend failure (device OOM, JAX error) must surface as a
+    clean Python error — never as native memory corruption from the
+    all-(-1) placeholder path (kt_align.cpp invoke_dp bail-outs)."""
+    import os
+
+    import kalign_tpu.native as native
+    from kalign_tpu.core import io as kio
+    from kalign_tpu import engine as E
+    from conftest import DATA
+
+    calls = {"n": 0}
+
+    def broken_hook(*args):
+        calls["n"] += 1
+        return 1  # simulate backend failure
+
+    cb = native.DP_HOOK_TYPE(broken_hook)
+    native.set_dp_hook(cb)
+    try:
+        msa = kio.read_inputs([os.path.join(DATA, "small.fa")])
+        msa.quiet = True
+        with pytest.raises(RuntimeError):
+            E.align_msa(msa, consistency_anchors=5)
+        assert calls["n"] >= 1
+        # the error path must not poison later runs
+        native.set_dp_hook(None)
+        msa2 = kio.read_inputs([os.path.join(DATA, "small.fa")])
+        msa2.quiet = True
+        out = E.align_msa(msa2, consistency_anchors=5)
+        assert out.alnlen > 0
+    finally:
+        native.set_dp_hook(None)
+
+
+def test_failing_hook_without_consistency():
+    """Same, on the progressive pass itself (consistency off)."""
+    import os
+
+    import kalign_tpu.native as native
+    from kalign_tpu.core import io as kio
+    from kalign_tpu import engine as E
+    from conftest import DATA
+
+    cb = native.DP_HOOK_TYPE(lambda *a: 1)
+    native.set_dp_hook(cb)
+    try:
+        msa = kio.read_inputs([os.path.join(DATA, "small.fa")])
+        msa.quiet = True
+        with pytest.raises(RuntimeError):
+            E.align_msa(msa, consistency_anchors=0)
+    finally:
+        native.set_dp_hook(None)
