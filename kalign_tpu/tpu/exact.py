@@ -670,6 +670,48 @@ class ExactAligner:
 # native-driver hook adapter
 # --------------------------------------------------------------------
 
+def _exactness_canary():
+    """One small seq x seq problem through the device wavefront vs the
+    native oracle.  Bit-exactness rests on the backend compiler not
+    contracting mul/add chains or reassociating maxes; if a compiler
+    change ever breaks that, this turns silent loss of byte-parity
+    into a loud error at engine start."""
+    import kalign_tpu.native as native
+    from kalign_tpu.core import params as P
+
+    L = native.lib()
+    rng = np.random.default_rng(1234)
+    ap = P.aln_param_init(P.BIOTYPE_PROTEIN, P.KALIGN_TYPE_PROTEIN,
+                          -1.0, -1.0, -1.0, 1)
+    subm = np.ascontiguousarray(ap.subm.astype(np.float32).reshape(-1))
+    la, lb = 33, 47
+    s1 = rng.integers(0, 23, la).astype(np.uint8)
+    s2 = rng.integers(0, 23, lb).astype(np.uint8)
+    g = (np.float32(ap.gpo), np.float32(ap.gpe), np.float32(ap.tgpe))
+    path_ref = np.full(lb + 2, -1, np.int32)
+    info = np.zeros(3, np.float32)
+    L.kt_run_align_single(0, s1.ctypes.data, s2.ctypes.data, None, None,
+                          la, lb, 0, subm, g[0], g[1], g[2],
+                          np.float32(0.7), None, lb, 0.0, 0, 1, 0,
+                          path_ref, info)
+    aln = ExactAligner(0, s1, s2, None, None, la, lb, 0,
+                       subm.reshape(23, 23), g[0], g[1], g[2],
+                       np.float32(0.7), None)
+    path_dev = np.full(la + 2, -1, np.int32)
+    msum, mcount, _ = aln.run(path_dev)
+    if not (np.array_equal(path_ref[:la + 2], path_dev)
+            and np.float32(msum) == info[0]
+            and mcount == int(info[1])):
+        raise RuntimeError(
+            "bit-exactness canary failed: the accelerator backend no "
+            "longer reproduces the reference float op order (compiler "
+            "FMA contraction / reassociation?).  Use engine='host' and "
+            "report this.")
+
+
+_CANARY_OK = False
+
+
 class ExactDpBackend:
     """DP_HOOK_TYPE adapter: receives raw pointers from the native
     driver, wraps them as numpy views, and runs ExactAligner."""
@@ -686,6 +728,10 @@ class ExactDpBackend:
         return self._cb
 
     def install(self):
+        global _CANARY_OK
+        if not _CANARY_OK:
+            _exactness_canary()
+            _CANARY_OK = True
         from kalign_tpu import native
         native.set_dp_hook(self.callback())
 
