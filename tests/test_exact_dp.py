@@ -149,3 +149,32 @@ def test_failing_hook_without_consistency():
             E.align_msa(msa, consistency_anchors=0)
     finally:
         native.set_dp_hook(None)
+
+
+def test_bonus_stride_differs_from_width(setup):
+    """The bonus matrix stride is an independent ABI parameter
+    (kt_dp_fn bstride); verify the device DP honors it when it differs
+    from the DP width."""
+    L, subm, g = setup
+    gpo, gpe, tgpe = g
+    rng = np.random.default_rng(7)
+    la, lb, stride = 30, 44, 51
+    s1 = rng.integers(0, 23, la).astype(np.uint8)
+    s2 = rng.integers(0, 23, lb).astype(np.uint8)
+    bonus = (rng.random(la * stride + 1) * 0.5).astype(np.float32)
+
+    path_ref = np.full(max(la, lb) + 2, -1, np.int32)
+    info_ref = np.zeros(3, np.float32)
+    L.kt_run_align_single(0, s1.ctypes.data, s2.ctypes.data, None, None,
+                          la, lb, 0, subm, gpo, gpe, tgpe, 0.0,
+                          bonus.ctypes.data, stride, 0.0, 0, 1, 0,
+                          path_ref, info_ref)
+
+    from kalign_tpu.tpu.exact import ExactAligner
+    aln = ExactAligner(0, s1, s2, None, None, la, lb, 0,
+                       subm.reshape(23, 23), gpo, gpe, tgpe, 0.0, bonus,
+                       bstride=stride)
+    path_tpu = np.full(la + 2, -1, np.int32)
+    msum, mcount, _ = aln.run(path_tpu)
+    assert np.array_equal(path_ref[:la + 2], path_tpu)
+    assert np.float32(msum) == info_ref[0]
