@@ -5,9 +5,11 @@ regresses more than the tolerance vs the committed baseline).
     python -m benchmarks.gate results.json benchmarks/baseline.json \
         [--tolerance 0.05] [--update]
 
-Gated metrics: per-category mean SP and TC (lower is worse) and total
-wall time (higher is worse; gated at 2x tolerance because CI machines
-are noisy).  --update rewrites the baseline from the results file.
+Gated metrics: per-category mean SP and TC (lower is worse).  Total
+wall time WARNS by default (CI machines are slower/noisier than the
+box that produced the committed baseline); pass --gate-time to fail on
+it too (2x tolerance).  --update rewrites the baseline from the
+results file.
 """
 
 import argparse
