@@ -57,6 +57,14 @@ def dssim_cases() -> List[Case]:
                 name=f"dna-{level}-n{n_seq}-L{length}",
                 gen=dict(n_seq=n_seq, dna=True, length=length,
                          seed=seed, **knobs)))
+    # RNA category (BRAliBASE analogue: DNA simulation transcribed)
+    for n_seq, length in ((16, 200), (32, 350)):
+        seed += 1
+        cases.append(Case(
+            category="dssim-rna",
+            name=f"rna-n{n_seq}-L{length}",
+            gen=dict(n_seq=n_seq, dna=True, length=length, seed=seed,
+                     n_obs=10, match_err_p=0.05, rna=True)))
     # high-indel stress category
     for n_seq, length in ((24, 250), (24, 500)):
         seed += 1
@@ -100,7 +108,12 @@ def materialize(case: Case):
     """Returns (seqs, names, gold_rows, gold_names) for any case."""
     if case.gen is not None:
         from kalign_tpu.dssim import generate_test_alignment
-        seqs, names, rows = generate_test_alignment(**case.gen)
+        gen = dict(case.gen)
+        rna = gen.pop("rna", False)
+        seqs, names, rows = generate_test_alignment(**gen)
+        if rna:
+            seqs = [s.replace("T", "U") for s in seqs]
+            rows = [r.replace("T", "U") for r in rows]
         return seqs, names, rows, names
     from kalign_tpu.core import io as kio
     m = kio.read_inputs([case.tfa])
