@@ -110,6 +110,8 @@ def lib() -> ctypes.CDLL:
     # --- pluggable DP backend ---
     L.kt_set_dp_hook.restype = None
     L.kt_set_dp_hook.argtypes = [ctypes.c_void_p]
+    L.kt_set_pairwise_hook.restype = None
+    L.kt_set_pairwise_hook.argtypes = [ctypes.c_void_p]
     return L
 
 
@@ -137,6 +139,27 @@ def set_dp_hook(cb):
         lib().kt_set_dp_hook(None)
     else:
         lib().kt_set_dp_hook(ctypes.cast(cb, ctypes.c_void_p))
+
+
+# Batched consistency pairwise backend (kt_api.h kt_pairwise_fn).
+PAIRWISE_HOOK_TYPE = ctypes.CFUNCTYPE(
+    ctypes.c_int32,
+    ctypes.c_int32,                                  # n_pairs
+    ctypes.POINTER(ctypes.c_void_p),                 # seqs_a
+    ctypes.POINTER(ctypes.c_int32),                  # lens_a
+    ctypes.POINTER(ctypes.c_void_p),                 # seqs_b
+    ctypes.POINTER(ctypes.c_int32),                  # lens_b
+    ctypes.c_void_p,                                 # subm
+    ctypes.c_float, ctypes.c_float, ctypes.c_float,  # gpo/gpe/tgpe
+    ctypes.c_void_p, ctypes.c_int64,                 # paths_out, stride
+)
+
+
+def set_pairwise_hook(cb):
+    if cb is None:
+        lib().kt_set_pairwise_hook(None)
+    else:
+        lib().kt_set_pairwise_hook(ctypes.cast(cb, ctypes.c_void_p))
 
 
 def flatten_seqs(codes_list):

@@ -31,6 +31,7 @@ constexpr int kRefineTrials = 5; /* REFINE_N_TRIALS (aln_refine.c:20) */
  * (merges and consistency pairwise maps) goes through it instead of the
  * in-process Hirschberg; orchestration stays here. */
 kt_dp_fn g_dp_hook = nullptr;
+kt_pairwise_fn g_pairwise_hook = nullptr;
 int g_dp_error = 0;
 
 void invoke_dp(AlnMem& m) {
@@ -710,67 +711,112 @@ struct Engine {
       }
     }
 
-    /* position maps via pairwise alignments */
-    AlnMem pm;
+    /* position maps via pairwise alignments.  With the batched
+       pairwise backend installed, all non-identity pairs go to the
+       device in ONE callback (rows = shorter side, mirrored back
+       here); otherwise each pair runs through invoke_dp. */
+    struct PairJob {
+      int i, k, ak;
+      bool swapped;
+      int rows, cols;
+    };
+    std::vector<PairJob> jobs;
     for (int i = 0; i < numseq; i++) {
-      const int len_i = lens[i];
       for (int k = 0; k < K; k++) {
         const int ak = ct->anchor_ids[k];
         std::vector<int>& map = ct->pos_maps[(size_t)i * K + k];
-        map.assign(len_i, -1);
+        map.assign(lens[i], -1);
         if (i == ak) {
-          for (int p = 0; p < len_i; p++) map[p] = p;
+          for (int p = 0; p < lens[i]; p++) map[p] = p;
           continue;
         }
-        const int len_j = lens[ak];
-        pm.pr = &base;
-        pm.bonus = nullptr;
-        pm.flip_threshold = 0.0f;
-        pm.flip_trial = 0;
-        pm.flip_stride = 1;
-        pm.flip_counter = 0;
-        pm.flip_mask = 0;
-        pm.margin_sum = 0.0f;
-        pm.margin_count = 0;
-        bool swapped;
-        if (len_i <= len_j) {
-          pm.ensure(len_i, len_j);
-          pm.seq1 = seqs[i];
-          pm.seq2 = seqs[ak];
-          swapped = false;
-        } else {
-          pm.ensure(len_j, len_i);
-          pm.seq1 = seqs[ak];
-          pm.seq2 = seqs[i];
-          swapped = true;
-        }
+        PairJob j;
+        j.i = i;
+        j.k = k;
+        j.ak = ak;
+        j.swapped = lens[i] > lens[ak];
+        j.rows = j.swapped ? lens[ak] : lens[i];
+        j.cols = j.swapped ? lens[i] : lens[ak];
+        jobs.push_back(j);
+      }
+    }
+
+    std::vector<int> batch_paths;
+    int64_t stride = 0;
+    if (g_pairwise_hook && !jobs.empty()) {
+      int max_rows = 0;
+      for (const auto& j : jobs) max_rows = std::max(max_rows, j.rows);
+      stride = max_rows + 2;
+      batch_paths.assign((size_t)jobs.size() * stride, -1);
+      std::vector<const uint8_t*> sa(jobs.size()), sb(jobs.size());
+      std::vector<int32_t> la(jobs.size()), lb(jobs.size());
+      for (size_t p = 0; p < jobs.size(); p++) {
+        const auto& j = jobs[p];
+        sa[p] = j.swapped ? seqs[j.ak] : seqs[j.i];
+        sb[p] = j.swapped ? seqs[j.i] : seqs[j.ak];
+        la[p] = j.rows;
+        lb[p] = j.cols;
+      }
+      int rc = g_pairwise_hook((int32_t)jobs.size(), sa.data(), la.data(),
+                               sb.data(), lb.data(), base.subm, base.gpo,
+                               base.gpe, base.tgpe, batch_paths.data(),
+                               stride);
+      if (rc != 0) {
+        g_dp_error = 1;
+        return;
+      }
+    }
+
+    AlnMem pm;
+    for (size_t p = 0; p < jobs.size(); p++) {
+      const auto& j = jobs[p];
+      const int len_i = lens[j.i];
+      const int len_j = lens[j.ak];
+      std::vector<int>& map = ct->pos_maps[(size_t)j.i * K + j.k];
+      pm.pr = &base;
+      pm.bonus = nullptr;
+      pm.flip_threshold = 0.0f;
+      pm.flip_trial = 0;
+      pm.flip_stride = 1;
+      pm.flip_counter = 0;
+      pm.flip_mask = 0;
+      pm.margin_sum = 0.0f;
+      pm.margin_count = 0;
+      pm.ensure(j.rows, j.cols);
+      pm.init_window();
+      if (!batch_paths.empty()) {
+        std::copy(batch_paths.begin() + p * stride,
+                  batch_paths.begin() + p * stride + j.rows + 2,
+                  pm.path.begin());
+      } else {
+        pm.seq1 = j.swapped ? seqs[j.ak] : seqs[j.i];
+        pm.seq2 = j.swapped ? seqs[j.i] : seqs[j.ak];
         pm.prof1 = nullptr;
         pm.prof2 = nullptr;
-        pm.init_window();
         invoke_dp(pm);
         if (g_dp_error) return;
-        if (swapped) {
-          mirror_path(pm, len_i, len_j);
-          pm.len_a = len_i;
-          pm.len_b = len_j;
+      }
+      if (j.swapped) {
+        mirror_path(pm, len_i, len_j);
+        pm.len_a = len_i;
+        pm.len_b = len_j;
+      }
+      path_to_steps_default(pm);
+      const int* path = pm.path.data();
+      int pos_a = 0, pos_b = 0;
+      int cidx = 1;
+      while (path[cidx] != 3) {
+        if (path[cidx] == 0) {
+          if (pos_a < len_i) map[pos_a] = pos_b;
+          pos_a++;
+          pos_b++;
+        } else if (path[cidx] & 1) {
+          pos_b++;
+        } else if (path[cidx] & 2) {
+          if (pos_a < len_i) map[pos_a] = -1;
+          pos_a++;
         }
-        path_to_steps_default(pm);
-        const int* path = pm.path.data();
-        int pos_a = 0, pos_b = 0;
-        int cidx = 1;
-        while (path[cidx] != 3) {
-          if (path[cidx] == 0) {
-            if (pos_a < len_i) map[pos_a] = pos_b;
-            pos_a++;
-            pos_b++;
-          } else if (path[cidx] & 1) {
-            pos_b++;
-          } else if (path[cidx] & 2) {
-            if (pos_a < len_i) map[pos_a] = -1;
-            pos_a++;
-          }
-          cidx++;
-        }
+        cidx++;
       }
     }
   }
@@ -911,5 +957,10 @@ extern "C" int32_t kt_align_msa(const uint8_t* flat, const int64_t* off,
 
 extern "C" void kt_set_dp_hook(kt_dp_fn fn) {
   kt::g_dp_hook = fn;
+  kt::g_dp_error = 0;
+}
+
+extern "C" void kt_set_pairwise_hook(kt_pairwise_fn fn) {
+  kt::g_pairwise_hook = fn;
   kt::g_dp_error = 0;
 }

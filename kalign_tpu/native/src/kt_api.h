@@ -115,6 +115,22 @@ typedef int32_t (*kt_dp_fn)(int32_t mode, const uint8_t* seq1,
  * callback. */
 void kt_set_dp_hook(kt_dp_fn fn);
 
+/* Optional batched residuesxresidues backend for the consistency
+ * pre-pass: all NxK anchor pairwise alignments in ONE callback
+ * (SURVEY 2.2: "batched pairwise kernel, NxK problems in one
+ * launch").  Each pair is pre-oriented rows=shorter; paths_out row p
+ * receives pair p's raw path (lens_a[p]+2 ints, pre-set to -1,
+ * stride path_stride).  Returns 0 on success. */
+typedef int32_t (*kt_pairwise_fn)(int32_t n_pairs,
+                                  const uint8_t* const* seqs_a,
+                                  const int32_t* lens_a,
+                                  const uint8_t* const* seqs_b,
+                                  const int32_t* lens_b, const float* subm,
+                                  float gpo, float gpe, float tgpe,
+                                  int32_t* paths_out, int64_t path_stride);
+
+void kt_set_pairwise_hook(kt_pairwise_fn fn);
+
 /* POAR consensus column assignment (union-find + cycle-safe topo sort,
  * consensus_msa.c:372-554).  Candidates are pre-filtered by min_support
  * in (pair, key) order; counting sort by descending support happens

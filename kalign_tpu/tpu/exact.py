@@ -727,6 +727,42 @@ class ExactDpBackend:
             self._cb = native.DP_HOOK_TYPE(self._call)
         return self._cb
 
+    def pairwise_callback(self):
+        from kalign_tpu import native
+        if getattr(self, "_pcb", None) is None:
+            self._pcb = native.PAIRWISE_HOOK_TYPE(self._call_pairwise)
+        return self._pcb
+
+    def _call_pairwise(self, n_pairs, seqs_a, lens_a, seqs_b, lens_b,
+                       subm, gpo, gpe, tgpe, paths_out, stride):
+        try:
+            self.calls += 1
+            n = int(n_pairs)
+            stride = int(stride)
+
+            def u8(ptr, ln):
+                return np.ctypeslib.as_array(
+                    ctypes.cast(ptr, _u8p), shape=(ln,))
+
+            pairs = []
+            for p in range(n):
+                la, lb = int(lens_a[p]), int(lens_b[p])
+                pairs.append((u8(seqs_a[p], la), u8(seqs_b[p], lb)))
+            sm = np.ctypeslib.as_array(
+                ctypes.cast(subm, _f32p), shape=(529,)).reshape(23, 23)
+            flat = np.ctypeslib.as_array(
+                ctypes.cast(paths_out, _i32p), shape=(n * stride,))
+            paths = [flat[p * stride:(p + 1) * stride] for p in range(n)]
+            batch = ExactPairBatch(pairs, sm, gpo, gpe, tgpe)
+            batch.run(paths)
+            return 0
+        except Exception as e:  # pragma: no cover - debugging aid
+            import traceback
+            self.last_error = traceback.format_exc()
+            print("ExactDpBackend pairwise error:", e)
+            print(self.last_error)
+            return 1
+
     def install(self):
         global _CANARY_OK
         if not _CANARY_OK:
@@ -734,11 +770,13 @@ class ExactDpBackend:
             _CANARY_OK = True
         from kalign_tpu import native
         native.set_dp_hook(self.callback())
+        native.set_pairwise_hook(self.pairwise_callback())
 
     @staticmethod
     def uninstall():
         from kalign_tpu import native
         native.set_dp_hook(None)
+        native.set_pairwise_hook(None)
 
     def _call(self, mode, seq1, seq2, prof1, prof2, len_a, len_b, sip,
               subm, gpo, gpe, tgpe, soff, bonus, bstride,
@@ -785,3 +823,239 @@ class ExactDpBackend:
             print("ExactDpBackend error:", e)
             print(self.last_error)
             return 1
+
+
+# --------------------------------------------------------------------
+# batched residues x residues problems (consistency pre-pass)
+# --------------------------------------------------------------------
+
+class _BWin(_Win):
+    __slots__ = ("pid",)
+
+    def __init__(self, pid, sa, ea, sb, eb, fs, bs):
+        super().__init__(sa, ea, sb, eb, fs, bs)
+        self.pid = pid
+
+
+class ExactPairBatch:
+    """All of the consistency pre-pass's NxK pairwise (residues x
+    residues) Hirschberg recursions in LOCKSTEP: every BFS depth packs
+    the live windows of EVERY problem into shared segmented-wavefront
+    launches (SURVEY 2.2 — NxK problems in one launch).  Sharing one
+    grid across problems is exact here because rr-mode column penalty
+    addends are scalars (same for every problem); per-window row data
+    and edge flags come from each window's own problem."""
+
+    def __init__(self, pairs, subm, gpo, gpe, tgpe):
+        # pairs: list of (s1, s2) uint8 arrays, rows = shorter side
+        self.pairs = pairs
+        gpo, gpe, tgpe = np.float32(gpo), np.float32(gpe), np.float32(tgpe)
+        self.gpo, self.gpe, self.tgpe = gpo, gpe, tgpe
+        se = subm.astype(np.float32)  # soff = 0 in the consistency pass
+        self.la = [len(a) for a, _ in pairs]
+        self.lb = [len(b) for _, b in pairs]
+        self.matchF = []
+        self.matchB = []
+        for s1, s2 in pairs:
+            core = se[s1][:, s2]
+            mF = np.zeros((len(s1), len(s2) + 1), np.float32)
+            mF[:, 1:] = core
+            mB = np.zeros((len(s1), len(s2) + 1), np.float32)
+            mB[:, :len(s2)] = core
+            self.matchF.append(mF)
+            self.matchB.append(mB[:, ::-1].copy())
+
+        self.VR = _pow2(max((max(self.la) + 1) // 2 + 2, 8))
+        self.C = max(self.lb)
+        self.Cpad = _pow2(self.C + 1) - 1
+        self.Wmax = self.VR
+
+        C = self.Cpad
+        f32 = np.float32
+        cols = (np.full(C + 1, -gpe, f32), np.full(C + 1, -gpo, f32),
+                np.full(C + 1, -tgpe, f32), np.full(C + 1, -gpo, f32))
+
+        def colpack(a):
+            return np.concatenate([np.zeros(self.VR, f32), a[::-1],
+                                   np.zeros(self.VR, f32)])
+        self._cols_p = [colpack(a) for a in cols]
+        self._zsub = np.zeros((self.VR * 2 + C + 1, 23), f32)
+
+    def _build_plan(self, wins, direction):
+        VR, C, Wmax = self.VR, self.Cpad, self.Wmax
+        f32, i32 = np.float32, np.int32
+        g = dict(
+            is_init=np.zeros(VR, bool), is_final=np.zeros(VR, bool),
+            active=np.zeros(VR, bool),
+            startq=np.zeros(VR, i32), endq=np.full(VR, -1, i32),
+            init_tg=np.zeros(VR, bool), start_tg=np.zeros(VR, bool),
+            end_tg=np.zeros(VR, bool),
+            seedA=np.zeros(VR, f32), seedGA=np.zeros(VR, f32),
+            seedGB=np.zeros(VR, f32),
+            gb_ext=np.full(VR, -self.gpe, f32),
+            gb_open=np.full(VR, -self.gpo, f32),
+            gb_tg=np.full(VR, -self.tgpe, f32),
+            dgb=np.full(VR, -self.gpo, f32),
+            match=np.zeros((VR, C + 1), f32),
+            bonus=np.zeros((VR, C + 1), f32),
+            p1cnt=np.zeros((VR, 23), f32),
+            win_slot=np.full(VR, Wmax, i32),
+        )
+        g["ga_ext_p"], g["ga_open_p"], g["ga_tg_p"], g["dga_p"] = self._cols_p
+        g["p2sub_p"] = self._zsub
+        vr = 0
+        for slot, w in enumerate(wins):
+            lb = self.lb[w.pid]
+            if direction == "f":
+                ra, rb = w.sa, w.mid
+                startq, endq = w.sb, w.eb
+                seeds = w.fs
+                init_tg = start_tg = w.sb == 0
+                end_tg = w.eb == lb
+                rows = np.arange(ra, rb)
+                msrc = self.matchF[w.pid]
+            else:
+                ra, rb = w.mid, w.ea
+                startq, endq = lb - w.eb, lb - w.sb
+                seeds = w.bs
+                init_tg = start_tg = w.eb == lb
+                end_tg = w.sb == 0
+                rows = np.arange(rb - 1, ra - 1, -1)
+                msrc = self.matchB[w.pid]
+            R = rb - ra
+            band = slice(vr, vr + R + 1)
+            g["active"][band] = True
+            g["startq"][band] = startq
+            g["endq"][band] = endq
+            g["is_init"][vr] = True
+            g["init_tg"][band] = init_tg
+            g["start_tg"][band] = start_tg
+            g["end_tg"][band] = end_tg
+            g["seedA"][vr], g["seedGA"][vr], g["seedGB"][vr] = seeds
+            g["is_final"][vr + R] = True
+            g["win_slot"][vr + R] = slot
+            if R:
+                # backward plans live in reversed coordinates q = lb - j;
+                # matchB rows are pre-reversed at the PROBLEM's width, so
+                # left-align them at this problem's lb+1 columns
+                g["match"][vr + 1:vr + R + 1, :self.lb[w.pid] + 1] = \
+                    msrc[rows]
+            vr += R + 1
+        return g
+
+    def _run_chunk(self, wins):
+        import jax.numpy as jnp
+        gf = self._build_plan(wins, "f")
+        gb = self._build_plan(wins, "b")
+        plans = {k: np.stack([gf[k], gb[k]]) for k in gf}
+        fn = _sweep_batch((self.VR, self.Cpad, self.Wmax, False))
+        out_dev = fn({k: jnp.asarray(v) for k, v in plans.items()})
+        out = np.asarray(out_dev[:, :len(wins)])
+        res = []
+        for slot, w in enumerate(wins):
+            lb = self.lb[w.pid]
+            fst = out[0, slot][:lb + 1]
+            bst = out[1, slot][:lb + 1][::-1]
+            res.append((fst, bst))
+        return res
+
+    def _meet(self, w, fst, bst):
+        sb, eb = w.sb, w.eb
+        lb = self.lb[w.pid]
+        middle = np.float32(
+            np.float32(eb - sb) / np.float32(2.0) + np.float32(sb))
+        thousand = np.float32(1000.0)
+        with np.errstate(over="ignore"):
+            fa, fga, fgb = fst[sb:eb, 0], fst[sb:eb, 1], fst[sb:eb, 2]
+            ba, bga, bgb = bst[sb:eb, 0], bst[sb:eb, 1], bst[sb:eb, 2]
+            idx = np.arange(sb, eb, dtype=np.float32)
+            sub = np.abs(middle - idx) / thousand
+            t6_in = -self.tgpe if sb == 0 else -self.gpe
+            t6_end = -self.tgpe if eb == lb else -self.gpe
+            n = eb - sb
+            S = np.empty((n, 6), np.float32)
+            S[:, 0] = (fa + ba) - sub
+            S[:, 1] = ((fa + bga) + (-self.gpo)) - sub
+            S[:, 2] = ((fa + bgb) + (-self.gpo)) - sub
+            S[:, 3] = ((fga + ba) + (-self.gpo)) - sub
+            S[:, 4] = ((fgb + bgb) + t6_in) - sub
+            S[:, 5] = ((fgb + ba) + (-self.gpo)) - sub
+            sub_e = np.abs(middle - np.float32(eb)) / thousand
+            f3 = ((fst[eb, 0] + bst[eb, 2]) + (-self.gpo)) - sub_e
+            f6 = ((fst[eb, 2] + bst[eb, 2]) + t6_end) - sub_e
+            flat = np.concatenate([S.ravel(), np.float32([f3, f6])])
+        m1, i1, m2, i2 = _two_max(flat)
+        if i1 < 0:
+            return -1, -1
+        if i1 < 6 * n:
+            return sb + i1 // 6, _TRANS[i1 % 6]
+        return eb, (3 if i1 == 6 * n else 6)
+
+    def _spawn(self, w, c, tr, path):
+        Z, N = np.float32(0.0), NEG
+        mid = w.mid
+        sa, ea, sb, eb, fs, bs = w.sa, w.ea, w.sb, w.eb, w.fs, w.bs
+        pid = w.pid
+        if tr == 1:
+            path[mid] = c
+            path[mid + 1] = c + 1
+            L = _BWin(pid, sa, mid - 1, sb, c - 1, fs, (Z, N, N))
+            R = _BWin(pid, mid + 1, ea, c + 1, eb, (Z, N, N), bs)
+        elif tr == 2:
+            path[mid] = c
+            L = _BWin(pid, sa, mid - 1, sb, c - 1, fs, (Z, N, N))
+            R = _BWin(pid, mid, ea, c + 1, eb, (N, Z, N), bs)
+        elif tr == 3:
+            path[mid] = c
+            L = _BWin(pid, sa, mid - 1, sb, c - 1, fs, (Z, N, N))
+            R = _BWin(pid, mid + 1, ea, c, eb, (N, N, Z), bs)
+        elif tr == 5:
+            path[mid + 1] = c + 1
+            L = _BWin(pid, sa, mid, sb, c - 1, fs, (N, Z, N))
+            R = _BWin(pid, mid + 1, ea, c + 1, eb, (Z, N, N), bs)
+        elif tr == 6:
+            L = _BWin(pid, sa, mid - 1, sb, c, fs, (N, N, Z))
+            R = _BWin(pid, mid + 1, ea, c, eb, (N, N, Z), bs)
+        elif tr == 7:
+            path[mid + 1] = c + 1
+            L = _BWin(pid, sa, mid - 1, sb, c, fs, (N, N, Z))
+            R = _BWin(pid, mid + 1, ea, c + 1, eb, (Z, N, N), bs)
+        else:
+            return ()
+        return (L, R)
+
+    def _chunks(self, wins):
+        out, cur, sf, sb_ = [], [], 0, 0
+        for w in wins:
+            rf = (w.mid - w.sa) + 1
+            rb = (w.ea - w.mid) + 1
+            if cur and (sf + rf > self.VR or sb_ + rb > self.VR
+                        or len(cur) >= self.Wmax):
+                out.append(cur)
+                cur, sf, sb_ = [], 0, 0
+            cur.append(w)
+            sf += rf
+            sb_ += rb
+        if cur:
+            out.append(cur)
+        return out
+
+    def run(self, paths_out):
+        """paths_out: list of int32 arrays (la_p + 2, pre-set -1)."""
+        Z = np.float32(0.0)
+        frontier = []
+        for pid in range(len(self.pairs)):
+            w = _BWin(pid, 0, self.la[pid], 0, self.lb[pid],
+                      (Z, NEG, NEG), (Z, NEG, NEG))
+            if w.sa < w.ea and w.sb < w.eb:
+                frontier.append(w)
+        while frontier:
+            nxt = []
+            for chunk in self._chunks(frontier):
+                res = self._run_chunk(chunk)
+                for w, (fst, bst) in zip(chunk, res):
+                    c, tr = self._meet(w, fst, bst)
+                    for k in self._spawn(w, c, tr, paths_out[w.pid]):
+                        if k.sa < k.ea and k.sb < k.eb:
+                            nxt.append(k)
+            frontier = nxt

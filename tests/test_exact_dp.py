@@ -178,3 +178,36 @@ def test_bonus_stride_differs_from_width(setup):
     msum, mcount, _ = aln.run(path_tpu)
     assert np.array_equal(path_ref[:la + 2], path_tpu)
     assert np.float32(msum) == info_ref[0]
+
+
+def test_pairwise_batch_backend_used_and_exact():
+    """The consistency pre-pass must route ALL NxK anchor pairwise
+    alignments through ONE batched device callback (SURVEY 2.2) and
+    stay byte-identical (golden: BB12006 default mode)."""
+    import os
+
+    import kalign_tpu.tpu.exact as X
+    from kalign_tpu.core import io as kio
+    from kalign_tpu import engine as E
+    from conftest import DATA, GOLDEN
+
+    stats = {"batches": 0, "pairs": 0}
+    orig = X.ExactPairBatch.run
+
+    def patched(self, paths):
+        stats["batches"] += 1
+        stats["pairs"] += len(self.pairs)
+        return orig(self, paths)
+
+    X.ExactPairBatch.run = patched
+    try:
+        msa = kio.read_inputs([os.path.join(DATA, "BB12006.tfa")])
+        msa.quiet = True
+        out = kio.write_fasta(E.align_msa(msa, consistency_anchors=5,
+                                          engine="tpu"))
+    finally:
+        X.ExactPairBatch.run = orig
+    ref = open(os.path.join(GOLDEN, "BB12006.default.afa")).read()
+    assert out == ref
+    assert stats["batches"] >= 1
+    assert stats["pairs"] > 100      # every non-identity (seq, anchor) pair
