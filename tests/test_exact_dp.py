@@ -210,4 +210,5 @@ def test_pairwise_batch_backend_used_and_exact():
     ref = open(os.path.join(GOLDEN, "BB12006.default.afa")).read()
     assert out == ref
     assert stats["batches"] >= 1
-    assert stats["pairs"] > 100      # every non-identity (seq, anchor) pair
+    # BB12006 has 4 sequences -> K = 4 anchors -> 4*4 - 4 identity pairs
+    assert stats["pairs"] == 12
