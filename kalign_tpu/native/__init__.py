@@ -112,6 +112,8 @@ def lib() -> ctypes.CDLL:
     L.kt_set_dp_hook.argtypes = [ctypes.c_void_p]
     L.kt_set_pairwise_hook.restype = None
     L.kt_set_pairwise_hook.argtypes = [ctypes.c_void_p]
+    L.kt_set_merge_batch_hook.restype = None
+    L.kt_set_merge_batch_hook.argtypes = [ctypes.c_void_p]
     return L
 
 
@@ -153,6 +155,36 @@ PAIRWISE_HOOK_TYPE = ctypes.CFUNCTYPE(
     ctypes.c_float, ctypes.c_float, ctypes.c_float,  # gpo/gpe/tgpe
     ctypes.c_void_p, ctypes.c_int64,                 # paths_out, stride
 )
+
+
+MERGE_BATCH_HOOK_TYPE = ctypes.CFUNCTYPE(
+    ctypes.c_int32,
+    ctypes.c_int32,                                  # n
+    ctypes.POINTER(ctypes.c_int32),                  # modes
+    ctypes.POINTER(ctypes.c_void_p),                 # seqs_a
+    ctypes.POINTER(ctypes.c_void_p),                 # seqs_b
+    ctypes.POINTER(ctypes.c_void_p),                 # profs_a
+    ctypes.POINTER(ctypes.c_void_p),                 # profs_b
+    ctypes.POINTER(ctypes.c_int32),                  # lens_a
+    ctypes.POINTER(ctypes.c_int32),                  # lens_b
+    ctypes.POINTER(ctypes.c_int32),                  # sips
+    ctypes.POINTER(ctypes.c_void_p),                 # bonuses
+    ctypes.POINTER(ctypes.c_int64),                  # bstrides
+    ctypes.POINTER(ctypes.c_float),                  # gpos
+    ctypes.POINTER(ctypes.c_float),                  # gpes
+    ctypes.POINTER(ctypes.c_float),                  # tgpes
+    ctypes.POINTER(ctypes.c_float),                  # soffs
+    ctypes.c_void_p,                                 # subm
+    ctypes.c_void_p, ctypes.c_int64,                 # paths_out, stride
+    ctypes.c_void_p, ctypes.c_void_p,                # margin_sums, counts
+)
+
+
+def set_merge_batch_hook(cb):
+    if cb is None:
+        lib().kt_set_merge_batch_hook(None)
+    else:
+        lib().kt_set_merge_batch_hook(ctypes.cast(cb, ctypes.c_void_p))
 
 
 def set_pairwise_hook(cb):

@@ -32,6 +32,7 @@ constexpr int kRefineTrials = 5; /* REFINE_N_TRIALS (aln_refine.c:20) */
  * in-process Hirschberg; orchestration stays here. */
 kt_dp_fn g_dp_hook = nullptr;
 kt_pairwise_fn g_pairwise_hook = nullptr;
+kt_merge_batch_fn g_merge_batch_hook = nullptr;
 int g_dp_error = 0;
 
 void invoke_dp(AlnMem& m) {
@@ -269,6 +270,54 @@ struct Engine {
         *row_node = b; *rows = len_b; *col_node = a; *cols = len_a;
       }
     }
+  }
+
+  /* operand orientation shared by the per-merge dispatch and the
+     level-batch path (aln_run.c:297-388 rules) */
+  struct Orient {
+    int mode;              /* 0 rr, 1 pr, 2 pp */
+    const uint8_t* s1 = nullptr;
+    const uint8_t* s2 = nullptr;
+    const float* p1 = nullptr;
+    const float* p2 = nullptr;
+    int rows, cols, sip;
+    bool swapped;          /* mirror path back to (len_a, len_b) after */
+  };
+
+  Orient orient_merge(int a, int b, int len_a, int len_b) const {
+    Orient o{};
+    if (nsip[a] == 1) {
+      if (nsip[b] == 1) {
+        o.mode = 0;
+        if (len_a < len_b) {
+          o.s1 = seqs[a]; o.s2 = seqs[b];
+          o.rows = len_a; o.cols = len_b; o.swapped = false;
+        } else {
+          o.s1 = seqs[b]; o.s2 = seqs[a];
+          o.rows = len_b; o.cols = len_a; o.swapped = true;
+        }
+      } else {
+        o.mode = 1;
+        o.p1 = profiles[b].data(); o.s2 = seqs[a];
+        o.rows = len_b; o.cols = len_a; o.sip = nsip[b]; o.swapped = true;
+      }
+    } else {
+      if (nsip[b] == 1) {
+        o.mode = 1;
+        o.p1 = profiles[a].data(); o.s2 = seqs[b];
+        o.rows = len_a; o.cols = len_b; o.sip = nsip[a]; o.swapped = false;
+      } else {
+        o.mode = 2;
+        if (len_a < len_b) {
+          o.p1 = profiles[a].data(); o.p2 = profiles[b].data();
+          o.rows = len_a; o.cols = len_b; o.swapped = false;
+        } else {
+          o.p1 = profiles[b].data(); o.p2 = profiles[a].data();
+          o.rows = len_b; o.cols = len_a; o.swapped = true;
+        }
+      }
+    }
+    return o;
   }
 
   /* dispatch one DP run with operand ordering + mirroring
@@ -625,6 +674,95 @@ struct Engine {
     finish_merge(task_id, a, b, c);
   }
 
+  /* one guide-tree level through the batched merge backend
+     (flip-free progressive pass only) */
+  void align_level_batched(const std::vector<int>& edge_ids) {
+    if (g_dp_error) return;
+    const int n = (int)edge_ids.size();
+    struct Prep {
+      Params eff;
+      Orient o;
+      std::vector<float> bonus_store;
+      const float* bonus = nullptr;
+      int64_t bstride = 0;
+      int len_a, len_b;
+    };
+    std::vector<Prep> preps(n);
+    for (int e = 0; e < n; e++) {
+      const int t = edge_ids[e];
+      const int a = tasks[t][0], b = tasks[t][1];
+      bool scaled;
+      Prep& p = preps[e];
+      p.eff = effective_params(a, b, &scaled);
+      prepare_profiles(p.eff, a, b, &p.len_a, &p.len_b);
+      if (ct) {
+        int rn, rows, cn, cols;
+        pick_bonus_sides(a, b, p.len_a, p.len_b, &rn, &rows, &cn, &cols);
+        p.bonus_store = bonus_matrix(rn, rows, cn, cols);
+        p.bonus = p.bonus_store.data();
+        p.bstride = cols;
+      }
+      p.o = orient_merge(a, b, p.len_a, p.len_b);
+    }
+
+    int64_t stride = 0;
+    for (const auto& p : preps) {
+      stride = std::max<int64_t>(stride, p.o.rows + 2);
+    }
+    std::vector<int> paths((size_t)n * stride, -1);
+    std::vector<int32_t> modes(n), la(n), lb(n), sips(n), mcounts(n, 0);
+    std::vector<const uint8_t*> sa(n), sb(n);
+    std::vector<const float*> pa(n), pb(n), bonuses(n);
+    std::vector<int64_t> bstrides(n);
+    std::vector<float> gpos(n), gpes(n), tgpes(n), soffs(n), msums(n, 0.0f);
+    for (int e = 0; e < n; e++) {
+      const Prep& p = preps[e];
+      modes[e] = p.o.mode;
+      sa[e] = p.o.s1;
+      sb[e] = p.o.s2;
+      pa[e] = p.o.p1;
+      pb[e] = p.o.p2;
+      la[e] = p.o.rows;
+      lb[e] = p.o.cols;
+      sips[e] = p.o.sip;
+      bonuses[e] = p.bonus;
+      bstrides[e] = p.bstride;
+      gpos[e] = p.eff.gpo;
+      gpes[e] = p.eff.gpe;
+      tgpes[e] = p.eff.tgpe;
+      soffs[e] = p.eff.soff;
+    }
+    int rc = g_merge_batch_hook(
+        n, modes.data(), sa.data(), sb.data(), pa.data(), pb.data(),
+        la.data(), lb.data(), sips.data(), bonuses.data(), bstrides.data(),
+        gpos.data(), gpes.data(), tgpes.data(), soffs.data(), base.subm,
+        paths.data(), stride, msums.data(), mcounts.data());
+    if (rc != 0) {
+      g_dp_error = 1;
+      return;
+    }
+
+    for (int e = 0; e < n; e++) {
+      const int t = edge_ids[e];
+      const int a = tasks[t][0], b = tasks[t][1], c = tasks[t][2];
+      const Prep& p = preps[e];
+      mem.pr = &p.eff;
+      mem.ensure(p.o.rows, p.o.cols);
+      mem.init_window();
+      std::copy(paths.begin() + (size_t)e * stride,
+                paths.begin() + (size_t)e * stride + p.o.rows + 2,
+                mem.path.begin());
+      if (p.o.swapped) {
+        mirror_path(mem, p.len_a, p.len_b);
+        mem.len_a = p.len_a;
+        mem.len_b = p.len_b;
+      }
+      confidence[t] = mcounts[e] > 0 ? msums[e] / (float)mcounts[e] : 0.0f;
+      path_to_steps_default(mem);
+      finish_merge_mt(t, a, b, c, mem);
+    }
+  }
+
   void clean_alignment_state() {
     /* clean_aln (weave_alignment.c:10-39) */
     for (int i = 0; i < numseq; i++) {
@@ -891,6 +1029,22 @@ extern "C" int32_t kt_align_msa(const uint8_t* flat, const int64_t* off,
     for (int t = 0; t < n_tasks && !kt::g_dp_error; t++) {
       eng.align_edge_inline(t, 3);
     }
+  } else if (kt::g_merge_batch_hook != nullptr) {
+    /* level-synchronous batched merges: every edge of a level goes to
+       the device in one callback */
+    std::vector<int> level(2 * numseq - 1, 0);
+    std::vector<std::vector<int>> levels;
+    for (int t = 0; t < n_tasks; t++) {
+      int a = eng.tasks[t][0], b = eng.tasks[t][1], c = eng.tasks[t][2];
+      int lv = 1 + std::max(level[a], level[b]);
+      level[c] = lv;
+      if ((int)levels.size() < lv) levels.resize(lv);
+      levels[lv - 1].push_back(t);
+    }
+    for (auto& lv_edges : levels) {
+      eng.align_level_batched(lv_edges);
+      if (kt::g_dp_error) break;
+    }
   } else if (n_threads <= 1 || kt::g_dp_hook != nullptr) {
     for (int t = 0; t < n_tasks && !kt::g_dp_error; t++) {
       eng.align_edge(t);
@@ -962,5 +1116,10 @@ extern "C" void kt_set_dp_hook(kt_dp_fn fn) {
 
 extern "C" void kt_set_pairwise_hook(kt_pairwise_fn fn) {
   kt::g_pairwise_hook = fn;
+  kt::g_dp_error = 0;
+}
+
+extern "C" void kt_set_merge_batch_hook(kt_merge_batch_fn fn) {
+  kt::g_merge_batch_hook = fn;
   kt::g_dp_error = 0;
 }

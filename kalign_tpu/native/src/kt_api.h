@@ -131,6 +131,26 @@ typedef int32_t (*kt_pairwise_fn)(int32_t n_pairs,
 
 void kt_set_pairwise_hook(kt_pairwise_fn fn);
 
+/* Optional batched merge backend: one callback aligns ALL merges of a
+ * guide-tree level (they are independent — the reference's OpenMP
+ * task axis, aln_run.c:65-109).  Operands arrive pre-oriented exactly
+ * as dispatch would orient them (mirroring happens in the driver);
+ * per-merge effective parameters ride as arrays.  modes: 0 rr, 1 pr,
+ * 2 pp.  paths_out row m receives merge m's raw path (lens_a[m]+2
+ * ints, pre-set -1).  Used only for the flip-free progressive pass;
+ * refinement trials keep the per-merge hook. */
+typedef int32_t (*kt_merge_batch_fn)(
+    int32_t n, const int32_t* modes, const uint8_t* const* seqs_a,
+    const uint8_t* const* seqs_b, const float* const* profs_a,
+    const float* const* profs_b, const int32_t* lens_a,
+    const int32_t* lens_b, const int32_t* sips,
+    const float* const* bonuses, const int64_t* bstrides,
+    const float* gpos, const float* gpes, const float* tgpes,
+    const float* soffs, const float* subm, int32_t* paths_out,
+    int64_t path_stride, float* margin_sums, int32_t* margin_counts);
+
+void kt_set_merge_batch_hook(kt_merge_batch_fn fn);
+
 /* POAR consensus column assignment (union-find + cycle-safe topo sort,
  * consensus_msa.c:372-554).  Candidates are pre-filtered by min_support
  * in (pair, key) order; counting sort by descending support happens

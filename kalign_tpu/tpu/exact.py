@@ -39,6 +39,16 @@ def _jax():
     return jax, jnp
 
 
+def _pack_budget():
+    """Chunk-packing budget for batched recursions: on accelerators,
+    pack many problems per launch (per-launch latency dominates; the
+    wavefront costs B*h + C steps packed vs B*(h + C) separate); on the
+    CPU backend, padded grid work costs more than launch overhead, so
+    pack minimally."""
+    import jax
+    return 4096 if jax.default_backend() != "cpu" else 0
+
+
 # --------------------------------------------------------------------
 # device kernel: segmented anti-diagonal wavefront sweep
 # --------------------------------------------------------------------
@@ -221,6 +231,21 @@ def _two_max(s):
 
 
 _TRANS = (1, 2, 3, 5, 6, 7)
+
+
+def _collect_margins(top):
+    """Margin bookkeeping in DFS preorder (finish_meet accumulation
+    order in the reference recursion)."""
+    msum = np.float32(0.0)
+    mlist = []
+    stack = [top]
+    while stack:
+        w = stack.pop()
+        if w.has2:
+            mlist.append(w.margin)
+            msum = np.float32(msum + w.margin)
+        stack.extend(reversed(w.children))
+    return msum, len(mlist), mlist
 
 
 class ExactAligner:
@@ -652,18 +677,7 @@ class ExactAligner:
                             if self._live(k):
                                 nxt.append(k)
                 frontier = nxt
-        # margin bookkeeping in DFS preorder (finish_meet accumulation
-        # order in the reference recursion)
-        msum = np.float32(0.0)
-        mlist = []
-        stack = [top]
-        while stack:
-            w = stack.pop()
-            if w.has2:
-                mlist.append(w.margin)
-                msum = np.float32(msum + w.margin)
-            stack.extend(reversed(w.children))
-        return msum, len(mlist), mlist
+        return _collect_margins(top)
 
 
 # --------------------------------------------------------------------
@@ -727,6 +741,75 @@ class ExactDpBackend:
             self._cb = native.DP_HOOK_TYPE(self._call)
         return self._cb
 
+    def merge_batch_callback(self):
+        from kalign_tpu import native
+        if getattr(self, "_mcb", None) is None:
+            self._mcb = native.MERGE_BATCH_HOOK_TYPE(self._call_merge_batch)
+        return self._mcb
+
+    def _call_merge_batch(self, n, modes, seqs_a, seqs_b, profs_a, profs_b,
+                          lens_a, lens_b, sips, bonuses, bstrides,
+                          gpos, gpes, tgpes, soffs, subm,
+                          paths_out, stride, margin_sums, margin_counts):
+        try:
+            self.calls += 1
+            n = int(n)
+            stride = int(stride)
+
+            def u8(ptr, ln):
+                return np.ctypeslib.as_array(
+                    ctypes.cast(ptr, _u8p), shape=(ln,))
+
+            def f32(ptr, ln):
+                return np.ctypeslib.as_array(
+                    ctypes.cast(ptr, _f32p), shape=(ln,))
+
+            sm = f32(subm, 529).reshape(23, 23)
+            aligners = []
+            for m in range(n):
+                mode = int(modes[m])
+                la, lb = int(lens_a[m]), int(lens_b[m])
+                bs = int(bstrides[m])
+                s1 = u8(seqs_a[m], la) if mode == 0 else None
+                s2 = u8(seqs_b[m], lb) if mode != 2 else None
+                p1 = f32(profs_a[m], (la + 2) * 64) if mode != 0 else None
+                p2 = f32(profs_b[m], (lb + 2) * 64) if mode == 2 else None
+                bon = f32(bonuses[m], la * bs + 1) if bonuses[m] else None
+                aligners.append(ExactAligner(
+                    mode, s1, s2, p1, p2, la, lb, int(sips[m]),
+                    sm if mode == 0 else None,
+                    gpos[m], gpes[m], tgpes[m], soffs[m], bon,
+                    bstride=bs))
+            # shared padded dims for grid stacking; like ExactPairBatch,
+            # give VR headroom beyond one problem's top window so early
+            # depths pack multiple merges per launch
+            single = max(a.VR for a in aligners)
+            total = sum((a.la + 1) // 2 + 2 for a in aligners)
+            VR = _pow2(max(single, min(total, _pack_budget())))
+            C = max(a.Cpad for a in aligners)
+            for a in aligners:
+                a.VR = VR
+                a.Cpad = C
+                a.Wmax = VR
+            flat = np.ctypeslib.as_array(
+                ctypes.cast(paths_out, _i32p), shape=(n * stride,))
+            paths = [flat[m * stride:(m + 1) * stride] for m in range(n)]
+            stats = run_merge_batch(aligners, paths)
+            ms = np.ctypeslib.as_array(
+                ctypes.cast(margin_sums, _f32p), shape=(n,))
+            mc = np.ctypeslib.as_array(
+                ctypes.cast(margin_counts, _i32p), shape=(n,))
+            for m, (s, cnt) in enumerate(stats):
+                ms[m] = s
+                mc[m] = cnt
+            return 0
+        except Exception as e:  # pragma: no cover - debugging aid
+            import traceback
+            self.last_error = traceback.format_exc()
+            print("ExactDpBackend merge-batch error:", e)
+            print(self.last_error)
+            return 1
+
     def pairwise_callback(self):
         from kalign_tpu import native
         if getattr(self, "_pcb", None) is None:
@@ -771,12 +854,14 @@ class ExactDpBackend:
         from kalign_tpu import native
         native.set_dp_hook(self.callback())
         native.set_pairwise_hook(self.pairwise_callback())
+        native.set_merge_batch_hook(self.merge_batch_callback())
 
     @staticmethod
     def uninstall():
         from kalign_tpu import native
         native.set_dp_hook(None)
         native.set_pairwise_hook(None)
+        native.set_merge_batch_hook(None)
 
     def _call(self, mode, seq1, seq2, prof1, prof2, len_a, len_b, sip,
               subm, gpo, gpe, tgpe, soff, bonus, bstride,
@@ -865,7 +950,15 @@ class ExactPairBatch:
             self.matchF.append(mF)
             self.matchB.append(mB[:, ::-1].copy())
 
-        self.VR = _pow2(max((max(self.la) + 1) // 2 + 2, 8))
+        # VR is both the grid height and the chunk-packing budget:
+        # size it to hold SEVERAL problems' top-level windows (up to a
+        # cap) so early recursion depths batch across problems too —
+        # wavefront steps scale as VR + C, so packing B problems into
+        # one launch costs (B*h + C) steps instead of B*(h + C)
+        single = max((la + 1) // 2 + 2 for la in self.la)
+        total = sum((la + 1) // 2 + 2 for la in self.la)
+        budget = _pack_budget()
+        self.VR = _pow2(max(8, single, min(total, budget)))
         self.C = max(self.lb)
         self.Cpad = _pow2(self.C + 1) - 1
         self.Wmax = self.VR
@@ -1059,3 +1152,65 @@ class ExactPairBatch:
                         if k.sa < k.ea and k.sb < k.eb:
                             nxt.append(k)
             frontier = nxt
+
+
+# --------------------------------------------------------------------
+# batched tree-level merges (all modes, lockstep recursions)
+# --------------------------------------------------------------------
+
+def run_merge_batch(aligners, paths):
+    """Run every aligner's flip-free Hirschberg recursion in lockstep:
+    each BFS depth stacks ALL problems' fwd/bwd grids on the launch
+    axis (every problem brings its own per-column data, so this works
+    for all three operand kinds — unlike the rr-only cross-problem
+    grid sharing of ExactPairBatch).  All aligners must share padded
+    (VR, Cpad) dims.  Returns [(margin_sum, margin_count)] per
+    problem."""
+    import jax.numpy as jnp
+
+    roots = []
+    frontiers = []
+    for aln, path in zip(aligners, paths):
+        aln.path = path
+        Z = np.float32(0.0)
+        top = _Win(0, aln.la, 0, aln.lb, (Z, NEG, NEG), (Z, NEG, NEG))
+        roots.append(top)
+        frontiers.append([top] if aln._live(top) else [])
+
+    while any(frontiers):
+        work = []
+        for i, fr in enumerate(frontiers):
+            if fr:
+                for chunk in aligners[i]._chunks(fr):
+                    work.append((i, chunk))
+        nxts = [[] for _ in aligners]
+        groups = {}
+        for item in work:
+            groups.setdefault(aligners[item[0]].use_chain, []).append(item)
+        for chain, items in groups.items():
+            plans = [aligners[i]._build_plans(chunk) for i, chunk in items]
+            stacked = {k: np.concatenate([p[k] for p in plans])
+                       for k in plans[0]}
+            a0 = aligners[items[0][0]]
+            fn = _sweep_batch((a0.VR, a0.Cpad, a0.Wmax, chain))
+            out = np.asarray(
+                fn({k: jnp.asarray(v) for k, v in stacked.items()}))
+            g = 0
+            for i, chunk in items:
+                aln = aligners[i]
+                lb = aln.lb
+                for slot, w in enumerate(chunk):
+                    fst = out[g, slot][:lb + 1]
+                    bst = out[g + 1, slot][:lb + 1][::-1]
+                    c, tr = aln._meet_window(w, fst, bst)
+                    for k2 in aln._spawn(w, c, tr):
+                        if aln._live(k2):
+                            nxts[i].append(k2)
+                g += 2
+        frontiers = nxts
+
+    out = []
+    for top in roots:
+        msum, mcount, _ = _collect_margins(top)
+        out.append((msum, mcount))
+    return out
