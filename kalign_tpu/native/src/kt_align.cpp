@@ -321,75 +321,27 @@ struct Engine {
   }
 
   /* dispatch one DP run with operand ordering + mirroring
-     (aln_run.c:297-388 / aln_refine.c:501-578) */
+     (aln_run.c:297-388 / aln_refine.c:501-578); orientation comes from
+     orient_merge — the single source of the ordering rules shared with
+     the level-batch path */
   void dispatch_mt(int a, int b, int len_a, int len_b, AlnMem& mem) {
-    if (nsip[a] == 1) {
-      if (nsip[b] == 1) {
-        if (len_a < len_b) {
-          mem.seq1 = seqs[a];
-          mem.seq2 = seqs[b];
-          mem.prof1 = nullptr;
-          mem.prof2 = nullptr;
-          invoke_dp(mem);
-        } else {
-          mem.enda = len_b;
-          mem.endb = len_a;
-          mem.len_a = len_b;
-          mem.len_b = len_a;
-          mem.seq1 = seqs[b];
-          mem.seq2 = seqs[a];
-          mem.prof1 = nullptr;
-          mem.prof2 = nullptr;
-          invoke_dp(mem);
-          mirror_path(mem, len_a, len_b);
-          mem.len_a = len_a;
-          mem.len_b = len_b;
-        }
-      } else {
-        mem.enda = len_b;
-        mem.endb = len_a;
-        mem.len_a = len_b;
-        mem.len_b = len_a;
-        mem.seq1 = nullptr;
-        mem.seq2 = seqs[a];
-        mem.prof1 = profiles[b].data();
-        mem.prof2 = nullptr;
-        mem.sip = nsip[b];
-        invoke_dp(mem);
-        mirror_path(mem, len_a, len_b);
-        mem.len_a = len_a;
-        mem.len_b = len_b;
-      }
-    } else {
-      if (nsip[b] == 1) {
-        mem.seq1 = nullptr;
-        mem.seq2 = seqs[b];
-        mem.prof1 = profiles[a].data();
-        mem.prof2 = nullptr;
-        mem.sip = nsip[a];
-        invoke_dp(mem);
-      } else {
-        if (len_a < len_b) {
-          mem.seq1 = nullptr;
-          mem.seq2 = nullptr;
-          mem.prof1 = profiles[a].data();
-          mem.prof2 = profiles[b].data();
-          invoke_dp(mem);
-        } else {
-          mem.enda = len_b;
-          mem.endb = len_a;
-          mem.len_a = len_b;
-          mem.len_b = len_a;
-          mem.seq1 = nullptr;
-          mem.seq2 = nullptr;
-          mem.prof1 = profiles[b].data();
-          mem.prof2 = profiles[a].data();
-          invoke_dp(mem);
-          mirror_path(mem, len_a, len_b);
-          mem.len_a = len_a;
-          mem.len_b = len_b;
-        }
-      }
+    Orient o = orient_merge(a, b, len_a, len_b);
+    mem.seq1 = o.s1;
+    mem.seq2 = o.s2;
+    mem.prof1 = o.p1;
+    mem.prof2 = o.p2;
+    mem.sip = o.sip;
+    if (o.swapped) {
+      mem.enda = o.rows;
+      mem.endb = o.cols;
+      mem.len_a = o.rows;
+      mem.len_b = o.cols;
+    }
+    invoke_dp(mem);
+    if (o.swapped) {
+      mirror_path(mem, len_a, len_b);
+      mem.len_a = len_a;
+      mem.len_b = len_b;
     }
   }
 
@@ -746,7 +698,6 @@ struct Engine {
       const int t = edge_ids[e];
       const int a = tasks[t][0], b = tasks[t][1], c = tasks[t][2];
       const Prep& p = preps[e];
-      mem.pr = &p.eff;
       mem.ensure(p.o.rows, p.o.cols);
       mem.init_window();
       std::copy(paths.begin() + (size_t)e * stride,
@@ -963,6 +914,22 @@ struct Engine {
 }  // namespace
 }  // namespace kt
 
+/* tree level partition: edges of one level touch disjoint nodes */
+static std::vector<std::vector<int>> kt_build_levels(const kt::Engine& eng,
+                                                     int numseq,
+                                                     int n_tasks) {
+  std::vector<int> level(2 * numseq - 1, 0);
+  std::vector<std::vector<int>> levels;
+  for (int t = 0; t < n_tasks; t++) {
+    int a = eng.tasks[t][0], b = eng.tasks[t][1], c = eng.tasks[t][2];
+    int lv = 1 + std::max(level[a], level[b]);
+    level[c] = lv;
+    if ((int)levels.size() < lv) levels.resize(lv);
+    levels[lv - 1].push_back(t);
+  }
+  return levels;
+}
+
 extern "C" int32_t kt_align_msa(const uint8_t* flat, const int64_t* off,
                                 const int32_t* len, int32_t numseq,
                                 const int32_t* tasks, int32_t n_tasks,
@@ -1032,15 +999,7 @@ extern "C" int32_t kt_align_msa(const uint8_t* flat, const int64_t* off,
   } else if (kt::g_merge_batch_hook != nullptr) {
     /* level-synchronous batched merges: every edge of a level goes to
        the device in one callback */
-    std::vector<int> level(2 * numseq - 1, 0);
-    std::vector<std::vector<int>> levels;
-    for (int t = 0; t < n_tasks; t++) {
-      int a = eng.tasks[t][0], b = eng.tasks[t][1], c = eng.tasks[t][2];
-      int lv = 1 + std::max(level[a], level[b]);
-      level[c] = lv;
-      if ((int)levels.size() < lv) levels.resize(lv);
-      levels[lv - 1].push_back(t);
-    }
+    auto levels = kt_build_levels(eng, numseq, n_tasks);
     for (auto& lv_edges : levels) {
       eng.align_level_batched(lv_edges);
       if (kt::g_dp_error) break;
@@ -1050,15 +1009,7 @@ extern "C" int32_t kt_align_msa(const uint8_t* flat, const int64_t* off,
       eng.align_edge(t);
     }
   } else {
-    std::vector<int> level(2 * numseq - 1, 0);
-    std::vector<std::vector<int>> levels;
-    for (int t = 0; t < n_tasks; t++) {
-      int a = eng.tasks[t][0], b = eng.tasks[t][1], c = eng.tasks[t][2];
-      int lv = 1 + std::max(level[a], level[b]);
-      level[c] = lv;
-      if ((int)levels.size() < lv) levels.resize(lv);
-      levels[lv - 1].push_back(t);
-    }
+    auto levels = kt_build_levels(eng, numseq, n_tasks);
 #ifdef _OPENMP
     omp_set_num_threads(n_threads);
 #endif

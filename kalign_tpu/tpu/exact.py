@@ -827,17 +827,23 @@ class ExactDpBackend:
                 return np.ctypeslib.as_array(
                     ctypes.cast(ptr, _u8p), shape=(ln,))
 
-            pairs = []
-            for p in range(n):
-                la, lb = int(lens_a[p]), int(lens_b[p])
-                pairs.append((u8(seqs_a[p], la), u8(seqs_b[p], lb)))
             sm = np.ctypeslib.as_array(
                 ctypes.cast(subm, _f32p), shape=(529,)).reshape(23, 23)
             flat = np.ctypeslib.as_array(
                 ctypes.cast(paths_out, _i32p), shape=(n * stride,))
-            paths = [flat[p * stride:(p + 1) * stride] for p in range(n)]
-            batch = ExactPairBatch(pairs, sm, gpo, gpe, tgpe)
-            batch.run(paths)
+            # bound the upfront match-matrix memory: an NxK pre-pass at
+            # 16k sequences is ~80k pairs; process in slices
+            CAP = 2048
+            for lo in range(0, n, CAP):
+                hi = min(lo + CAP, n)
+                pairs = []
+                for p in range(lo, hi):
+                    la, lb = int(lens_a[p]), int(lens_b[p])
+                    pairs.append((u8(seqs_a[p], la), u8(seqs_b[p], lb)))
+                paths = [flat[p * stride:(p + 1) * stride]
+                         for p in range(lo, hi)]
+                batch = ExactPairBatch(pairs, sm, gpo, gpe, tgpe)
+                batch.run(paths)
             return 0
         except Exception as e:  # pragma: no cover - debugging aid
             import traceback
@@ -1043,7 +1049,8 @@ class ExactPairBatch:
         plans = {k: np.stack([gf[k], gb[k]]) for k in gf}
         fn = _sweep_batch((self.VR, self.Cpad, self.Wmax, False))
         out_dev = fn({k: jnp.asarray(v) for k, v in plans.items()})
-        out = np.asarray(out_dev[:, :len(wins)])
+        max_lb = max(self.lb[w.pid] for w in wins)
+        out = np.asarray(out_dev[:, :len(wins), :max_lb + 1])
         res = []
         for slot, w in enumerate(wins):
             lb = self.lb[w.pid]
@@ -1158,6 +1165,10 @@ class ExactPairBatch:
 # batched tree-level merges (all modes, lockstep recursions)
 # --------------------------------------------------------------------
 
+# grids per stacked launch (2 per chunk): bounds one launch's upload
+_MAX_GRIDS = 64
+
+
 def run_merge_batch(aligners, paths):
     """Run every aligner's flip-free Hirschberg recursion in lockstep:
     each BFS depth stacks ALL problems' fwd/bwd grids on the launch
@@ -1187,26 +1198,35 @@ def run_merge_batch(aligners, paths):
         groups = {}
         for item in work:
             groups.setdefault(aligners[item[0]].use_chain, []).append(item)
-        for chain, items in groups.items():
-            plans = [aligners[i]._build_plans(chunk) for i, chunk in items]
-            stacked = {k: np.concatenate([p[k] for p in plans])
-                       for k in plans[0]}
-            a0 = aligners[items[0][0]]
-            fn = _sweep_batch((a0.VR, a0.Cpad, a0.Wmax, chain))
-            out = np.asarray(
-                fn({k: jnp.asarray(v) for k, v in stacked.items()}))
-            g = 0
-            for i, chunk in items:
-                aln = aligners[i]
-                lb = aln.lb
-                for slot, w in enumerate(chunk):
-                    fst = out[g, slot][:lb + 1]
-                    bst = out[g + 1, slot][:lb + 1][::-1]
-                    c, tr = aln._meet_window(w, fst, bst)
-                    for k2 in aln._spawn(w, c, tr):
-                        if aln._live(k2):
-                            nxts[i].append(k2)
-                g += 2
+        for chain, all_items in groups.items():
+            # cap grids per launch (bounds one launch's match/bonus
+            # upload) and fetch only live slots/columns — transfers
+            # dominate on remote devices
+            for base in range(0, len(all_items), _MAX_GRIDS // 2):
+                items = all_items[base:base + _MAX_GRIDS // 2]
+                plans = [aligners[i]._build_plans(chunk)
+                         for i, chunk in items]
+                stacked = {k: np.concatenate([p[k] for p in plans])
+                           for k in plans[0]}
+                a0 = aligners[items[0][0]]
+                fn = _sweep_batch((a0.VR, a0.Cpad, a0.Wmax, chain))
+                out_dev = fn({k: jnp.asarray(v)
+                              for k, v in stacked.items()})
+                max_slots = max(len(chunk) for _, chunk in items)
+                max_lb = max(aligners[i].lb for i, _ in items)
+                out = np.asarray(out_dev[:, :max_slots, :max_lb + 1])
+                g = 0
+                for i, chunk in items:
+                    aln = aligners[i]
+                    lb = aln.lb
+                    for slot, w in enumerate(chunk):
+                        fst = out[g, slot][:lb + 1]
+                        bst = out[g + 1, slot][:lb + 1][::-1]
+                        c, tr = aln._meet_window(w, fst, bst)
+                        for k2 in aln._spawn(w, c, tr):
+                            if aln._live(k2):
+                                nxts[i].append(k2)
+                    g += 2
         frontiers = nxts
 
     out = []
