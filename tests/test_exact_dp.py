@@ -212,3 +212,56 @@ def test_pairwise_batch_backend_used_and_exact():
     assert stats["batches"] >= 1
     # BB12006 has 4 sequences -> K = 4 anchors -> 4*4 - 4 identity pairs
     assert stats["pairs"] == 12
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", [0, 1, 2])
+def test_exact_matches_native_oracle_large(setup, mode):
+    """Deeper-recursion differential: larger randomized problems hit
+    window geometries (many recursion depths, uneven meets, long gap
+    runs) that the small-size trials cannot."""
+    L, subm, g = setup
+    gpo, gpe, tgpe = g
+    rng = np.random.default_rng(77 + mode)
+    for trial in range(4):
+        la = int(rng.integers(120, 260))
+        lb = int(rng.integers(la, 380))
+        s1 = s2 = p1 = p2 = None
+        s1p = s2p = p1p = p2p = None
+        sip = 0
+        if mode == 0:
+            s1 = rng.integers(0, 23, la).astype(np.uint8)
+            s2 = rng.integers(0, 23, lb).astype(np.uint8)
+            s1p, s2p = s1.ctypes.data, s2.ctypes.data
+        else:
+            p1 = _merged(L, subm, g, rng, la)
+            L.kt_scale_gaps(p1, la, 2 if mode == 2 else 1)
+            p1p = p1.ctypes.data
+            if mode == 1:
+                s2 = rng.integers(0, 23, lb).astype(np.uint8)
+                s2p = s2.ctypes.data
+                sip = 2
+            else:
+                p2 = _merged(L, subm, g, rng, lb)
+                L.kt_scale_gaps(p2, lb, 2)
+                p2p = p2.ctypes.data
+        soff = np.float32(rng.choice([0.0, 1.1]))
+        fthr, ftr, fstr = (np.float32(2.0), 1 + trial % 4, 4) \
+            if trial % 2 else (np.float32(0.0), 0, 1)
+
+        path_ref = np.full(max(la, lb) + 2, -1, np.int32)
+        info_ref = np.zeros(3, np.float32)
+        L.kt_run_align_single(mode, s1p, s2p, p1p, p2p, la, lb, sip,
+                              subm, gpo, gpe, tgpe, soff, None, lb,
+                              fthr, ftr, fstr, 0, path_ref, info_ref)
+
+        from kalign_tpu.tpu.exact import ExactAligner
+        aln = ExactAligner(mode, s1, s2, p1, p2, la, lb, sip,
+                           subm.reshape(23, 23) if mode == 0 else None,
+                           gpo, gpe, tgpe, soff, None, fthr, ftr, fstr)
+        path_tpu = np.full(la + 2, -1, np.int32)
+        msum, mcount, _ = aln.run(path_tpu)
+        assert np.array_equal(path_ref[:la + 2], path_tpu), \
+            f"mode={mode} trial={trial} la={la} lb={lb}"
+        assert np.float32(msum) == info_ref[0]
+        assert mcount == int(info_ref[1])
