@@ -1234,3 +1234,53 @@ def run_merge_batch(aligners, paths):
         msum, mcount, _ = _collect_margins(top)
         out.append((msum, mcount))
     return out
+
+
+# --------------------------------------------------------------------
+# batched refinement flip trials (one merge, K perturbed recursions)
+# --------------------------------------------------------------------
+
+def run_flip_trials(aligners, paths):
+    """K flip-perturbation trials of ONE merge in lockstep.  Every
+    trial's recursion is DFS (flip_counter consumes low-margin meets in
+    preorder, aln_refine.c trial semantics), so each step takes ONE
+    window per live trial — but the trials share operands, so their
+    windows pack into one grid built from aligners[0]'s matrices.
+    Returns [(margin_sum, margin_count)] per trial."""
+    a0 = aligners[0]
+    roots = []
+    stacks = []
+    for aln, path in zip(aligners, paths):
+        aln.path = path
+        Z = np.float32(0.0)
+        top = _Win(0, aln.la, 0, aln.lb, (Z, NEG, NEG), (Z, NEG, NEG))
+        roots.append(top)
+        stacks.append([top] if aln._live(top) else [])
+
+    while True:
+        wins = []
+        owners = []
+        for t, st in enumerate(stacks):
+            while st:
+                w = st.pop()
+                if aligners[t]._live(w):
+                    wins.append(w)
+                    owners.append(t)
+                    break
+        if not wins:
+            break
+        # shared matrices: a0 builds every trial's plans; repack into
+        # VR-budget chunks (each window belongs to a distinct trial, so
+        # intra-step ordering is free)
+        owner_of = {id(w): t for w, t in zip(wins, owners)}
+        for chunk in a0._chunks(wins):
+            res = a0._run_chunk(chunk)
+            for w, (fst, bst) in zip(chunk, res):
+                t = owner_of[id(w)]
+                aln = aligners[t]
+                c, tr = aln._meet_window(w, fst, bst)
+                kids = aln._spawn(w, c, tr)
+                # DFS order: push right then left so left pops first
+                stacks[t].extend(reversed(kids))
+
+    return [_collect_margins(top) for top in roots]

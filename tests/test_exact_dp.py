@@ -265,3 +265,51 @@ def test_exact_matches_native_oracle_large(setup, mode):
             f"mode={mode} trial={trial} la={la} lb={lb}"
         assert np.float32(msum) == info_ref[0]
         assert mcount == int(info_ref[1])
+
+
+@pytest.mark.parametrize("mode", [0, 2])
+def test_flip_trials_lockstep_matches_sequential(setup, mode):
+    """run_flip_trials (K trials lockstep, shared grids) must reproduce
+    each trial's sequential ExactAligner.run exactly — paths, margins,
+    counts."""
+    from kalign_tpu.tpu.exact import ExactAligner, run_flip_trials
+
+    L, subm, g = setup
+    gpo, gpe, tgpe = g
+    rng = np.random.default_rng(5 + mode)
+    la, lb = 40, 55
+    if mode == 0:
+        s1 = rng.integers(0, 23, la).astype(np.uint8)
+        s2 = rng.integers(0, 23, lb).astype(np.uint8)
+        p1 = p2 = None
+    else:
+        s1 = s2 = None
+        p1 = _merged(L, subm, g, rng, la)
+        L.kt_scale_gaps(p1, la, 2)
+        p2 = _merged(L, subm, g, rng, lb)
+        L.kt_scale_gaps(p2, lb, 2)
+    sm = subm.reshape(23, 23) if mode == 0 else None
+
+    def mk(trial):
+        return ExactAligner(mode, s1, s2, p1, p2, la, lb, 0, sm,
+                            gpo, gpe, tgpe, 0.0, None,
+                            np.float32(2.5), trial, 4)
+
+    K = 4
+    seq_paths = []
+    seq_stats = []
+    for k in range(1, K + 1):
+        aln = mk(k)
+        path = np.full(la + 2, -1, np.int32)
+        msum, mcount, _ = aln.run(path)
+        seq_paths.append(path)
+        seq_stats.append((msum, mcount))
+
+    aligners = [mk(k) for k in range(1, K + 1)]
+    lock_paths = [np.full(la + 2, -1, np.int32) for _ in range(K)]
+    lock_stats = run_flip_trials(aligners, lock_paths)
+
+    for k in range(K):
+        assert np.array_equal(seq_paths[k], lock_paths[k]), f"trial {k+1}"
+        assert np.float32(lock_stats[k][0]) == np.float32(seq_stats[k][0])
+        assert lock_stats[k][1] == seq_stats[k][1]
