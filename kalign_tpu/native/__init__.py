@@ -114,6 +114,8 @@ def lib() -> ctypes.CDLL:
     L.kt_set_pairwise_hook.argtypes = [ctypes.c_void_p]
     L.kt_set_merge_batch_hook.restype = None
     L.kt_set_merge_batch_hook.argtypes = [ctypes.c_void_p]
+    L.kt_set_trial_batch_hook.restype = None
+    L.kt_set_trial_batch_hook.argtypes = [ctypes.c_void_p]
     return L
 
 
@@ -185,6 +187,28 @@ def set_merge_batch_hook(cb):
         lib().kt_set_merge_batch_hook(None)
     else:
         lib().kt_set_merge_batch_hook(ctypes.cast(cb, ctypes.c_void_p))
+
+
+TRIAL_BATCH_HOOK_TYPE = ctypes.CFUNCTYPE(
+    ctypes.c_int32,
+    ctypes.c_int32,                                  # mode
+    ctypes.c_void_p, ctypes.c_void_p,                # seq1, seq2
+    ctypes.c_void_p, ctypes.c_void_p,                # prof1, prof2
+    ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # len_a, len_b, sip
+    ctypes.c_void_p,                                 # subm
+    ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,  # g*, soff
+    ctypes.c_void_p, ctypes.c_int64,                 # bonus, bstride
+    ctypes.c_int32, ctypes.c_float, ctypes.c_int32,  # n_trials, thr, stride
+    ctypes.c_void_p, ctypes.c_int64,                 # paths_out, path_stride
+    ctypes.c_void_p, ctypes.c_void_p,                # margin_sums, counts
+)
+
+
+def set_trial_batch_hook(cb):
+    if cb is None:
+        lib().kt_set_trial_batch_hook(None)
+    else:
+        lib().kt_set_trial_batch_hook(ctypes.cast(cb, ctypes.c_void_p))
 
 
 def set_pairwise_hook(cb):

@@ -33,6 +33,7 @@ constexpr int kRefineTrials = 5; /* REFINE_N_TRIALS (aln_refine.c:20) */
 kt_dp_fn g_dp_hook = nullptr;
 kt_pairwise_fn g_pairwise_hook = nullptr;
 kt_merge_batch_fn g_merge_batch_hook = nullptr;
+kt_trial_batch_fn g_trial_batch_hook = nullptr;
 int g_dp_error = 0;
 
 void invoke_dp(AlnMem& m) {
@@ -407,6 +408,34 @@ struct Engine {
     finish_merge_mt(task_id, a, b, c, mem);
   }
 
+  /* trials 1..n_trials-1 through the batched backend; fills
+     per-trial raw paths + margins for the SP-selection loop.  The
+     operands/orientation mirror dispatch_mt via orient_merge. */
+  bool run_trials_batched(int a, int b, int len_a, int len_b,
+                          const Params& eff, const float* bonus,
+                          int64_t bstride, int n_trials, float threshold,
+                          std::vector<int>& trial_paths, int64_t& stride,
+                          std::vector<float>& msums,
+                          std::vector<int32_t>& mcounts, Orient& o) {
+    if (!g_trial_batch_hook || n_trials <= 1) return false;
+    o = orient_merge(a, b, len_a, len_b);
+    stride = o.rows + 2;
+    const int K = n_trials - 1;
+    trial_paths.assign((size_t)K * stride, -1);
+    msums.assign(K, 0.0f);
+    mcounts.assign(K, 0);
+    int rc = g_trial_batch_hook(
+        o.mode, o.s1, o.s2, o.p1, o.p2, o.rows, o.cols, o.sip, base.subm,
+        eff.gpo, eff.gpe, eff.tgpe, eff.soff, bonus, bstride, n_trials,
+        threshold, n_trials - 1, trial_paths.data(), stride, msums.data(),
+        mcounts.data());
+    if (rc != 0) {
+      g_dp_error = 1;
+      return false;
+    }
+    return true;
+  }
+
   void reset_trial(int len_a, int len_b) {
     int g = (len_a > len_b ? len_a : len_b) + 2;
     for (int i = 0; i < g; i++) mem.path[i] = -1;
@@ -547,19 +576,45 @@ struct Engine {
     float best_margin_sum = 0.0f;
     int best_margin_count = 0;
     float avg_margin = 0.0f;
+    std::vector<int> trial_paths;
+    std::vector<float> trial_msums;
+    std::vector<int32_t> trial_mcounts;
+    int64_t trial_stride = 0;
+    bool batched = false;
+    Orient batch_o{};
     for (int k = 0; k < n_trials; k++) {
-      reset_trial(len_a, len_b);
-      if (k == 0) {
-        mem.flip_threshold = 0.0f;
-        mem.flip_trial = 0;
+      if (batched) {
+        /* trial k's raw path from the batched run, mirrored exactly
+           as dispatch would */
+        reset_trial(len_a, len_b);
+        mem.ensure(batch_o.rows, batch_o.cols);
+        std::copy(trial_paths.begin() + (size_t)(k - 1) * trial_stride,
+                  trial_paths.begin() + (size_t)(k - 1) * trial_stride +
+                      batch_o.rows + 2,
+                  mem.path.begin());
+        if (batch_o.swapped) {
+          mem.len_a = batch_o.rows;
+          mem.len_b = batch_o.cols;
+          mirror_path(mem, len_a, len_b);
+        }
+        mem.len_a = len_a;
+        mem.len_b = len_b;
+        mem.margin_sum = trial_msums[k - 1];
+        mem.margin_count = trial_mcounts[k - 1];
       } else {
-        mem.flip_threshold = avg_margin;
-        mem.flip_trial = k;
-        mem.flip_stride = n_trials - 1;
-        mem.flip_counter = 0;
+        reset_trial(len_a, len_b);
+        if (k == 0) {
+          mem.flip_threshold = 0.0f;
+          mem.flip_trial = 0;
+        } else {
+          mem.flip_threshold = avg_margin;
+          mem.flip_trial = k;
+          mem.flip_stride = n_trials - 1;
+          mem.flip_counter = 0;
+        }
+        dispatch(a, b, len_a, len_b);
+        if (g_dp_error) return;
       }
-      dispatch(a, b, len_a, len_b);
-      if (g_dp_error) return;
       path_to_steps_fixed(mem);
       float sp = sp_score_groups(seqs, lens, gaps, eff, mem.path.data(),
                                  sip[a], sip[b]);
@@ -585,6 +640,13 @@ struct Engine {
         }
         mem.flip_margins = nullptr;
         mem.flip_margin_alloc = 0;
+        if (avg_margin > 0.0f) {
+          batched = run_trials_batched(
+              a, b, len_a, len_b, eff, mem.bonus, mem.bstride, n_trials,
+              avg_margin, trial_paths, trial_stride, trial_msums,
+              trial_mcounts, batch_o);
+          if (g_dp_error) return;
+        }
       }
     }
     std::copy(best_path.begin(), best_path.end(), mem.path.begin());
@@ -1072,5 +1134,10 @@ extern "C" void kt_set_pairwise_hook(kt_pairwise_fn fn) {
 
 extern "C" void kt_set_merge_batch_hook(kt_merge_batch_fn fn) {
   kt::g_merge_batch_hook = fn;
+  kt::g_dp_error = 0;
+}
+
+extern "C" void kt_set_trial_batch_hook(kt_trial_batch_fn fn) {
+  kt::g_trial_batch_hook = fn;
   kt::g_dp_error = 0;
 }

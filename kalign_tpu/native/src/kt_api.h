@@ -151,6 +151,21 @@ typedef int32_t (*kt_merge_batch_fn)(
 
 void kt_set_merge_batch_hook(kt_merge_batch_fn fn);
 
+/* Optional batched refinement-trial backend: trials 1..K-1 of one
+ * merge (round-robin flip perturbation, aln_refine.c:88-346) in one
+ * callback — trial 0 must already have run (its mean margin is the
+ * flip threshold).  paths_out row t receives trial t's raw path
+ * (len_a+2 ints, pre-set -1). */
+typedef int32_t (*kt_trial_batch_fn)(
+    int32_t mode, const uint8_t* seq1, const uint8_t* seq2,
+    const float* prof1, const float* prof2, int32_t len_a, int32_t len_b,
+    int32_t sip, const float* subm, float gpo, float gpe, float tgpe,
+    float soff, const float* bonus, int64_t bstride, int32_t n_trials,
+    float flip_threshold, int32_t flip_stride, int32_t* paths_out,
+    int64_t path_stride, float* margin_sums, int32_t* margin_counts);
+
+void kt_set_trial_batch_hook(kt_trial_batch_fn fn);
+
 /* POAR consensus column assignment (union-find + cycle-safe topo sort,
  * consensus_msa.c:372-554).  Candidates are pre-filtered by min_support
  * in (pair, key) order; counting sort by descending support happens

@@ -810,6 +810,62 @@ class ExactDpBackend:
             print(self.last_error)
             return 1
 
+    def trial_batch_callback(self):
+        from kalign_tpu import native
+        if getattr(self, "_tcb", None) is None:
+            self._tcb = native.TRIAL_BATCH_HOOK_TYPE(self._call_trial_batch)
+        return self._tcb
+
+    def _call_trial_batch(self, mode, seq1, seq2, prof1, prof2,
+                          len_a, len_b, sip, subm, gpo, gpe, tgpe, soff,
+                          bonus, bstride, n_trials, flip_threshold,
+                          flip_stride, paths_out, path_stride,
+                          margin_sums, margin_counts):
+        try:
+            self.calls += 1
+            la, lb = int(len_a), int(len_b)
+            stride = int(path_stride)
+            K = int(n_trials) - 1
+
+            def u8(ptr, ln):
+                return np.ctypeslib.as_array(
+                    ctypes.cast(ptr, _u8p), shape=(ln,))
+
+            def f32(ptr, ln):
+                return np.ctypeslib.as_array(
+                    ctypes.cast(ptr, _f32p), shape=(ln,))
+
+            s1 = u8(seq1, la) if mode == 0 else None
+            s2 = u8(seq2, lb) if mode != 2 else None
+            p1 = f32(prof1, (la + 2) * 64) if mode != 0 else None
+            p2 = f32(prof2, (lb + 2) * 64) if mode == 2 else None
+            sm = f32(subm, 529).reshape(23, 23) if mode == 0 else None
+            bs = int(bstride)
+            bon = f32(bonus, la * bs + 1) if bonus else None
+            aligners = [ExactAligner(
+                mode, s1, s2, p1, p2, la, lb, int(sip), sm,
+                gpo, gpe, tgpe, soff, bon,
+                flip_threshold, k, int(flip_stride), bstride=bs)
+                for k in range(1, K + 1)]
+            flat = np.ctypeslib.as_array(
+                ctypes.cast(paths_out, _i32p), shape=(K * stride,))
+            paths = [flat[k * stride:(k + 1) * stride] for k in range(K)]
+            stats = run_flip_trials(aligners, paths)
+            ms = np.ctypeslib.as_array(
+                ctypes.cast(margin_sums, _f32p), shape=(K,))
+            mc = np.ctypeslib.as_array(
+                ctypes.cast(margin_counts, _i32p), shape=(K,))
+            for k, (s, cnt) in enumerate(stats):
+                ms[k] = s
+                mc[k] = cnt
+            return 0
+        except Exception as e:  # pragma: no cover - debugging aid
+            import traceback
+            self.last_error = traceback.format_exc()
+            print("ExactDpBackend trial-batch error:", e)
+            print(self.last_error)
+            return 1
+
     def pairwise_callback(self):
         from kalign_tpu import native
         if getattr(self, "_pcb", None) is None:
@@ -861,6 +917,7 @@ class ExactDpBackend:
         native.set_dp_hook(self.callback())
         native.set_pairwise_hook(self.pairwise_callback())
         native.set_merge_batch_hook(self.merge_batch_callback())
+        native.set_trial_batch_hook(self.trial_batch_callback())
 
     @staticmethod
     def uninstall():
@@ -868,6 +925,7 @@ class ExactDpBackend:
         native.set_dp_hook(None)
         native.set_pairwise_hook(None)
         native.set_merge_batch_hook(None)
+        native.set_trial_batch_hook(None)
 
     def _call(self, mode, seq1, seq2, prof1, prof2, len_a, len_b, sip,
               subm, gpo, gpe, tgpe, soff, bonus, bstride,
@@ -1283,4 +1341,4 @@ def run_flip_trials(aligners, paths):
                 # DFS order: push right then left so left pops first
                 stacks[t].extend(reversed(kids))
 
-    return [_collect_margins(top) for top in roots]
+    return [_collect_margins(top)[:2] for top in roots]
