@@ -8,9 +8,24 @@ checkpoints so long multi-host runs can resume after the distance or
 tree phase.
 """
 
-from typing import Tuple
+import hashlib
+from typing import Optional, Tuple
 
 import numpy as np
+
+
+def input_fingerprint(seqs) -> str:
+    """Stable fingerprint of the input the artifacts were derived from:
+    sha256 over the (already sorted) sequence strings.  Stored in
+    distances.npz and checked at resume so a checkpoint produced from
+    different input with the same sequence count is rejected instead of
+    silently yielding a wrong alignment."""
+    h = hashlib.sha256()
+    h.update(str(len(seqs)).encode())
+    for s in seqs:
+        h.update(b"\x00")
+        h.update(s.encode() if isinstance(s, str) else bytes(s))
+    return h.hexdigest()
 
 
 def write_tasks(tasks: np.ndarray, path: str,
@@ -38,12 +53,20 @@ def read_tasks(path: str) -> np.ndarray:
 
 
 def save_distances(path: str, dm: np.ndarray, seq_distances: np.ndarray,
-                   anchors=None) -> None:
+                   anchors=None, fingerprint: Optional[str] = None) -> None:
     np.savez_compressed(path, dm=dm, seq_distances=seq_distances,
                         anchors=np.asarray(anchors if anchors is not None
-                                           else []))
+                                           else []),
+                        fingerprint=np.asarray(fingerprint or ""))
 
 
-def load_distances(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+def load_distances(path: str, expect_fingerprint: Optional[str] = None,
+                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     z = np.load(path)
+    if expect_fingerprint is not None and "fingerprint" in z:
+        stored = str(z["fingerprint"])
+        if stored and stored != expect_fingerprint:
+            raise ValueError(
+                "checkpoint was produced from different input sequences "
+                "(fingerprint mismatch)")
     return z["dm"], z["seq_distances"], z["anchors"]

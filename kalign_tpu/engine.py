@@ -18,9 +18,13 @@ Engines:
   * "tpu-mesh": tpu-fast sharded over a device mesh
 """
 
+import threading
 from typing import List, Optional
 
 import numpy as np
+
+# serializes native DP-hook install/align/uninstall (see ExactTpuEngine)
+_HOOK_LOCK = threading.Lock()
 
 from kalign_tpu.utils.logging import log, timer
 from kalign_tpu.core import alphabet as alpha
@@ -162,19 +166,24 @@ class ExactTpuEngine(HostEngine):
 
     def align(self, codes, tasks, ap, seq_distances, refine_mode=0,
               cons_seq_distances=None):
-        self.backend.install()
-        try:
-            return super().align(codes, tasks, ap, seq_distances,
-                                 refine_mode=refine_mode,
-                                 cons_seq_distances=cons_seq_distances)
-        except RuntimeError as e:
-            if self.backend.last_error:
-                raise RuntimeError(
-                    "device DP backend failed:\n"
-                    + self.backend.last_error) from e
-            raise
-        finally:
-            self.backend.uninstall()
+        # The native DP hooks are process-wide globals (kt_align.cpp);
+        # serialize install -> align -> uninstall so two ExactTpuEngine
+        # instances in one process can't race on them (ctypes releases
+        # the GIL during kt_align_msa).
+        with _HOOK_LOCK:
+            self.backend.install()
+            try:
+                return super().align(codes, tasks, ap, seq_distances,
+                                     refine_mode=refine_mode,
+                                     cons_seq_distances=cons_seq_distances)
+            except RuntimeError as e:
+                if self.backend.last_error:
+                    raise RuntimeError(
+                        "device DP backend failed:\n"
+                        + self.backend.last_error) from e
+                raise
+            finally:
+                self.backend.uninstall()
 
 
 def resolve_auto_engine(msa: Optional[Msa] = None) -> str:
@@ -299,7 +308,9 @@ def align_msa(msa: Msa, n_threads: int = 1, type_: int = 0,
         tasks = ckpt.read_tasks(_os.path.join(resume_checkpoint,
                                               "tasks.txt"))
         _, seq_dist, _ = ckpt.load_distances(
-            _os.path.join(resume_checkpoint, "distances.npz"))
+            _os.path.join(resume_checkpoint, "distances.npz"),
+            expect_fingerprint=ckpt.input_fingerprint(
+                [sq.seq for sq in msa.sequences]))
         if len(tasks) != msa.numseq - 1 or len(seq_dist) != msa.numseq:
             raise ValueError(
                 "checkpoint does not match the input (expected "
@@ -317,7 +328,9 @@ def align_msa(msa: Msa, n_threads: int = 1, type_: int = 0,
         _os.makedirs(save_checkpoint, exist_ok=True)
         ckpt.write_tasks(tasks, _os.path.join(save_checkpoint, "tasks.txt"))
         ckpt.save_distances(_os.path.join(save_checkpoint, "distances.npz"),
-                            np.zeros((0, 0), np.float32), seq_dist)
+                            np.zeros((0, 0), np.float32), seq_dist,
+                            fingerprint=ckpt.input_fingerprint(
+                                [sq.seq for sq in msa.sequences]))
 
     # full alphabet for the DP
     if msa.biotype == BIOTYPE_PROTEIN:

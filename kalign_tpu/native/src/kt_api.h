@@ -112,7 +112,14 @@ typedef int32_t (*kt_dp_fn)(int32_t mode, const uint8_t* seq1,
 
 /* Install (or clear, with NULL) the DP backend.  While set, kt_align_msa
  * runs single-threaded and routes every full-path alignment through the
- * callback. */
+ * callback.
+ *
+ * CONCURRENCY: the hook pointers and the internal error flag are
+ * process-wide globals.  Callers MUST serialize the whole
+ * install -> kt_align_msa -> uninstall sequence across threads and
+ * engine instances (the Python bindings hold a module-level lock,
+ * engine.py _HOOK_LOCK); concurrent installs race and can run one
+ * aligner with another's backend. */
 void kt_set_dp_hook(kt_dp_fn fn);
 
 /* Optional batched residuesxresidues backend for the consistency

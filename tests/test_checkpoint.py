@@ -129,3 +129,23 @@ def test_resume_checkpoint_mismatch_raises(tmp_path):
         cli.main(["-i", os.path.join(DATA, "tiny.fa"), "-o",
                   str(tmp_path / "y.afa"), "-q",
                   "--resume-checkpoint", ck])
+
+
+def test_resume_checkpoint_fingerprint_rejects_same_count(tmp_path):
+    """A checkpoint from DIFFERENT input with the SAME sequence count
+    must be rejected (input fingerprint stored in distances.npz)."""
+    import os
+    import pytest
+    from kalign_tpu import cli
+    from kalign_tpu.core import io as kio
+
+    a = tmp_path / "a.fa"
+    b = tmp_path / "b.fa"
+    a.write_text(">s1\nMKVLITTAGG\n>s2\nMKVLITAAGG\n>s3\nMKVLITTAGA\n")
+    b.write_text(">s1\nMKVLITTAGG\n>s2\nMKVLITAAGG\n>s3\nMKVLITTAGW\n")
+    ck = str(tmp_path / "ck")
+    assert cli.main(["-i", str(a), "-o", str(tmp_path / "a.afa"), "-q",
+                     "--save-checkpoint", ck]) == 0
+    with pytest.raises(ValueError, match="fingerprint"):
+        cli.main(["-i", str(b), "-o", str(tmp_path / "b.afa"), "-q",
+                  "--resume-checkpoint", ck])
