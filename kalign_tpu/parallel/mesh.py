@@ -49,6 +49,26 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(arr, ("data", "model"))
 
 
+def _to_global(arr, sharding):
+    """device_put that also works across PROCESSES: under
+    jax.distributed each process contributes the shards it addresses
+    (callers hold the full host array on every process — true for the
+    guide-tree-phase inputs, which are broadcast-read)."""
+    arr = np.asarray(arr)
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
+def _from_global(x) -> np.ndarray:
+    """Fetch a (possibly cross-process) global array to every host."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def pad_rows(a: np.ndarray, to: int, fill=0) -> np.ndarray:
     if a.shape[0] == to:
         return a
@@ -184,13 +204,13 @@ def sharded_anchor_distances(mesh: Mesh, tokens: np.ndarray,
         return jax.vmap(one_anchor, in_axes=(0, 0, 0), out_axes=1)(
             a_full, a_lens, a_peq)
 
-    toks_d = jax.device_put(tokens_p, row_sharding)
-    lens_d = jax.device_put(lengths_p, row_sharding)
+    toks_d = _to_global(tokens_p, row_sharding)
+    lens_d = _to_global(lengths_p, row_sharding)
     out = dist_block(toks_d, lens_d,
-                     jax.device_put(anchor_full, rep),
-                     jax.device_put(anchor_pat, rep),
-                     jax.device_put(anchor_lens, rep), max_steps)
-    dm = np.asarray(out)[:N]
+                     _to_global(anchor_full, rep),
+                     _to_global(anchor_pat, rep),
+                     _to_global(anchor_lens, rep), max_steps)
+    dm = _from_global(out)[:N]
     # short-sequence preference bias, computed in double then narrowed
     # exactly like the reference (sequence_distance.c:71-74): adding the
     # identical f32 bias to the integer-valued distance is bit-exact
@@ -475,8 +495,8 @@ def sharded_bucket_step(mesh: Mesh, lhs, rhs, pc, pr, la, lb, eps,
         out_specs=P(axes)))
 
     inputs = [lhs, rhs, pc, pr, la, lb, eps] + ([bonus] if has_bonus else [])
-    args = [jax.device_put(np.asarray(x), bsh) for x in inputs]
-    packed = np.asarray(run(*args))
+    args = [_to_global(np.asarray(x), bsh) for x in inputs]
+    packed = _from_global(run(*args))
     steps, nsteps, score = unpack_traceback(packed, max_steps)
     return ([steps[b, :nsteps[b]] for b in range(B)],
             score.astype(np.float64))

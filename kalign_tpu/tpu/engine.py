@@ -61,6 +61,12 @@ def _match_matmul(counts, subrows):
     return jnp.dot(counts, subrows.T, preferred_element_type=jnp.float32)
 
 
+@jax.jit
+def _batched_matmul(lhs, rhs):
+    return jax.lax.dot_general(lhs, rhs, (((2,), (2,)), ((0,), (0,))),
+                               preferred_element_type=jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("bt", "rows_per_step",
                                              "with_dec"))
 def _fused_forward(lhs, rhs, pc, pr, la, lb, bias_eps, bonus, bt,
@@ -231,7 +237,8 @@ class TpuEngine:
                 # a few VMEM-infeasible giants (e.g. the root merge of
                 # very long profiles): shard each problem's COLUMN axis
                 # over the mesh instead of the batch axis
-                match = np.einsum("blk,bmk->blm", lhs, rhs).astype(np.float32)
+                match = np.array(_batched_matmul(jnp.asarray(lhs),
+                                                 jnp.asarray(rhs)))
                 for k in range(B):
                     self._add_center_bias(match[k], int(la[k]),
                                           int(lb[k]), float(eps[k]))
@@ -297,10 +304,13 @@ class TpuEngine:
                                       st, score, max_steps)
             return ("packed", packed, max_steps, B)
         # CPU backend / VMEM-infeasible widths: materialize match
-        # host-side, use the HBM-resident XLA scan — or, on a
-        # multi-device mesh, the column-sharded wavefront DP (the
-        # sequence-parallel axis: one huge problem spread over chips)
-        match = np.einsum("blk,bmk->blm", lhs, rhs).astype(np.float32)
+        # (same XLA dot_general as the fused path, so near-tie decisions
+        # agree bitwise with the device-resident engine), use the
+        # HBM-resident XLA scan — or, on a multi-device mesh, the
+        # column-sharded wavefront DP (the sequence-parallel axis: one
+        # huge problem spread over chips)
+        match = np.array(_batched_matmul(jnp.asarray(lhs),
+                                         jnp.asarray(rhs)))
         for k in range(B):
             self._add_center_bias(match[k], int(la[k]), int(lb[k]),
                                   float(eps[k]))
@@ -468,9 +478,43 @@ class TpuEngine:
                 lambda t: full if disagree[t] else (1e-3,))
             return gaps, conf
         cand = (1e-3,) if refine_mode == P.REFINE_NONE else full
+        if refine_mode == P.REFINE_NONE and ct is None:
+            res = self._progressive_resident(codes, tasks, ap, sd,
+                                             eps=cand[0])
+            if res is not None:
+                return res
         gaps, conf, _ = self._progressive(codes, tasks, ap, sd, ct,
                                           lambda t: cand)
         return gaps, conf
+
+    def _progressive_resident(self, codes, tasks, ap: P.AlnParam, sd, eps):
+        """Device-resident progressive pass (tpu/resident.py): profiles
+        and gap state stay on device between levels; only per-level
+        profile lengths cross to the host.  Returns None when the
+        workload needs the host-assembled path (multi-device mesh,
+        VMEM-infeasible bucket, or opted out)."""
+        import os
+        if os.environ.get("KALIGN_TPU_NO_RESIDENT"):
+            return None
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            return None
+        from kalign_tpu.tpu.resident import ResidentPass
+        n = len(codes)
+        order = np.asarray(tasks)[np.argsort(np.asarray(tasks)[:, 2])]
+        task_index = {int(c): t for t, (_, _, c) in enumerate(order)}
+        level = {i: 0 for i in range(n)}
+        levels: List[List[int]] = []
+        for a, b, c in order:
+            lv = 1 + max(level[int(a)], level[int(b)])
+            level[int(c)] = lv
+            while len(levels) < lv:
+                levels.append([])
+            levels[lv - 1].append(int(c))
+        sip: List[Optional[List[int]]] = [[i] for i in range(n)] + \
+            [None] * (n - 1)
+        nsip = [1] * n + [0] * (n - 1)
+        rp = ResidentPass(self, codes, ap, sd, eps)
+        return rp.run(order, task_index, levels, sip, nsip)
 
     def _progressive(self, codes, tasks, ap: P.AlnParam, sd, ct, cand_for):
         """One bottom-up progressive pass.  cand_for(task_idx) gives the
@@ -666,7 +710,9 @@ class TpuEngine:
             return
         ii = np.arange(1, la + 1, dtype=np.float32)[:, None]
         jj = np.arange(1, lb + 1, dtype=np.float32)[None, :]
-        match[:la, :lb] -= np.abs(jj - ii * (lb / max(la, 1))) * np.float32(eps)
+        # f32 slope, matching the fused device path (_fused_forward)
+        slope = np.float32(lb) / np.float32(max(la, 1))
+        match[:la, :lb] -= np.abs(jj - ii * slope) * np.float32(eps)
 
     def _select_candidates(self, items, all_steps, all_scores, B, K,
                            sip, nsip, gaps, lens, ap: P.AlnParam):

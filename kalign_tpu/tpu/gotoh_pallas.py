@@ -127,14 +127,15 @@ def _kernel(lab_ref, bias_ref, match_ref, rowpen_ref, colpen_ref, ga0_ref,
 
     la = lab_ref[:, 0:1]
     lb = lab_ref[:, 1:2]
-    slope = bias_ref[:, 0:1]            # centering bias: lb / max(la, 1)
-    bias_eps = bias_ref[:, 1:2]
     idx = jax.lax.broadcasted_iota(jnp.int32, (BT, W), 1)
     cols = idx + 1                      # actual DP column numbers 1..L2p
-    colsf = cols.astype(jnp.float32)
-    col_valid = cols <= lb
     idx0 = idx == 0                     # DP column 1 (shift-in boundary)
     is_term_col = cols == lb
+    if with_bias:
+        slope = bias_ref[:, 0:1]        # centering bias: lb / max(la, 1)
+        bias_eps = bias_ref[:, 1:2]
+        slope_eps = slope * bias_eps
+        cols_eps = cols.astype(jnp.float32) * bias_eps
 
     goB = colpen_ref[0]
     geB = colpen_ref[1]
@@ -173,9 +174,10 @@ def _kernel(lab_ref, bias_ref, match_ref, rowpen_ref, colpen_ref, ga0_ref,
         # a full elementwise pass over the [B, L1p, L2p] match array)
         m_row = match_ref[r]  # [BT, L2p]; m_row[:, j-1] scores DP col j
         if with_bias:
+            # |cols - row*slope| * eps == |cols*eps - row*(slope*eps)|
+            # with cols*eps and slope*eps hoisted out of the row loop
             rowf = jax.lax.convert_element_type(row, jnp.float32)
-            dev = jnp.abs(colsf - rowf * slope)
-            m_row = m_row - dev * bias_eps
+            m_row = m_row - jnp.abs(cols_eps - rowf * slope_eps)
 
         # one stacked roll produces every j-1 view of the previous row;
         # position 0 (DP col 1) receives the analytic column-0 boundary
@@ -190,42 +192,56 @@ def _kernel(lab_ref, bias_ref, match_ref, rowpen_ref, colpen_ref, ga0_ref,
         GB_prev_s = jnp.where(idx0, gb0_prev, shifted[2])
 
         # --- A row ---
+        # Cells beyond col lb are NOT masked off (here or for GB/GA
+        # below): garbage there cannot contaminate valid cells — the
+        # next row's shifted views at valid cols j <= lb read cols
+        # <= lb-1, u is masked to NEG at cols >= lb before the scan,
+        # and the final extraction masks on cols == lb.  Dropping the
+        # three per-row col_valid selects is a measured win on a kernel
+        # that is VPU-op-bound.
         diagA = A_prev_s
         diagGA = GA_prev_s + goB_s
         diagGB = GB_prev_s + goA_prev
         best01 = jnp.maximum(diagA, diagGA)
-        # reference MAX3 keeps the LATER operand on ties (a > b ? a : b)
-        dec_a = jnp.where(diagGA >= diagA, 1, 0)
-        dec_a = jnp.where(diagGB >= best01, 2, dec_a)
         A_row = jnp.maximum(best01, diagGB) + m_row
-        A_row = jnp.where(col_valid, A_row, NEG)
 
         # --- GB row (prev-row only); col lb is terminal ---
         ge_eff = jnp.where(is_term_col, tgeA_i, geA_i)
         go_eff = jnp.where(is_term_col, tgeA_i, goA_i)
         gb_e = GB_prev + ge_eff
         gb_o = A_prev + go_eff
-        GB_row = jnp.where(col_valid, jnp.maximum(gb_e, gb_o), NEG)
-        dec_gb = (gb_e > gb_o).astype(jnp.int32)
+        GB_row = jnp.maximum(gb_e, gb_o)
 
         # --- GA row (in-row scan); row-invariant prefix sums / shifted
         # vectors are precomputed, terminal-row variant masked in ---
-        ge_row = jnp.where(is_last_row, tgeB, geB)
-        go_row = jnp.where(is_last_row, tgeB, goB)
         C = jnp.where(is_last_row, C_term, C_norm)
         go_next = jnp.where(is_last_row, tgeB_next, goB_next)
         C_next = jnp.where(is_last_row, C_term_next, C_norm_next)
         u = A_row + go_next - C_next
         u = jnp.where(cols < lb, u, NEG)  # only k < lb can open
         cm = _cummax_axis1(u, W)
-        cm_s = jnp.where(idx0, NEG, pltpu.roll(cm, 1, axis=1))
-        GA_row = jnp.where(col_valid, cm_s + C, NEG)
+        # one stacked roll serves both the scan shift and (with_dec)
+        # the gap-open candidate shift
+        rolled2 = pltpu.roll(jnp.stack([cm, A_row], axis=0), 1, axis=2)
+        cm_s = jnp.where(idx0, NEG, rolled2[0])
+        GA_row = cm_s + C
 
         if with_dec:
+            # reference MAX3 keeps the LATER operand on ties
+            dec_a = jnp.where(diagGA >= diagA, 1, 0)
+            dec_a = jnp.where(diagGB >= best01, 2, dec_a)
+            dec_gb = (gb_e > gb_o).astype(jnp.int32)
+            # GA extend-vs-open must compare the two CANDIDATES, not
+            # the realised GA_row vs the open candidate: GA_row goes
+            # through the scan transform (+C then -C association) and
+            # can drift an ulp from max(ext, open), which flips
+            # decisions the XLA oracle (tpu/gotoh.py:135-138) and the
+            # traceback treat as canonical.
+            ge_row = jnp.where(is_last_row, tgeB, geB)
+            go_row = jnp.where(is_last_row, tgeB, goB)
             ga_ext = jnp.where(idx0, NEG,
                                pltpu.roll(GA_row, 1, axis=1)) + ge_row
-            ga_open = jnp.where(idx0, NEG,
-                                pltpu.roll(A_row, 1, axis=1)) + go_row
+            ga_open = jnp.where(idx0, NEG, rolled2[1]) + go_row
             dec_ga = jnp.where(ga_ext > ga_open, 1, 0)
             dec = dec_a | (dec_ga << 2) | (dec_gb << 3)
             dec_ref[r] = dec.astype(jnp.int8)

@@ -1,0 +1,556 @@
+"""Device-resident progressive pass for the TPU engine.
+
+The round-2 engine kept profiles and gap state on the HOST: every guide
+-tree level re-assembled padded [B, L, 23] profile operands in numpy,
+uploaded them, fetched tracebacks, and ran per-merge python loops for
+profile merging and gap weaving.  At 16384x150 that left the chip ~99%
+idle behind the tunnel (0.59 s device vs ~90 s wall, BENCHMARKS.md).
+
+This module keeps the whole progressive state ON DEVICE between levels:
+
+  live_counts  [M, Lc, 23] f32   weighted residue counts per live node
+  live_subrows [M, Lc, 23] f32   substitution rows (historical gap adj)
+  live_pen     [M, Lc, 3]  f32   per-column -gpo/-gpe/-tgpe body
+  gaps_buf     [n, Lg]     i32   per-sequence gap lists (weave state)
+
+Per level, ONE fused program per shape bucket gathers operands straight
+from the live buffers (leaf operands are built in-program from the
+token array), runs matmul -> bias -> Gotoh DP -> traceback -> profile
+merge, and a second small program applies the gap weave for the level's
+member sequences.  The ONLY device->host transfer in the loop is the
+[B] int32 vector of new profile lengths (needed to bucket the next
+level); steps, profiles and gap state never leave the device until the
+final single gaps_buf fetch.
+
+Semantics match the host-assembled tpu-fast path: the same kernel, the
+same assembly values, the same weave arithmetic (exact integer ops).
+Merge scores are equal to float tolerance; equal-score tie-breaking may
+differ, because XLA fuses the match matmul differently inside the
+resident program (measured ~5e-7 relative — the same class of
+divergence tpu-fast accepts vs the host engine).  Differential tests
+assert per-merge score equality, alignment validity, and quality
+parity against the non-resident engine (tests/test_resident.py).
+
+Reference mapping: progressive driver aln_run.c:43-437 (post-order
+merges, shorter-operand-first + mirror convention aln_run.c:297-388),
+profile merge update_n aln_setup.c:230-436, gap weave
+weave_alignment.c:41-112.
+"""
+
+import functools
+from typing import List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from kalign_tpu.core import params as P
+
+STEP_PAD = 3
+
+
+def _bucket(n: int, q: int = 128) -> int:
+    return max(q, ((n + q - 1) // q) * q)
+
+
+def _pow2(n: int, lo: int = 8) -> int:
+    p = lo
+    while p < n:
+        p *= 2
+    return p
+
+
+# ---------------------------------------------------------------------------
+# fused per-bucket program: gather operands -> DP -> traceback -> merge
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L1p", "L2p", "S", "use_pallas", "bt", "R"))
+def _bucket_step(live_counts, live_subrows, live_pen, tokens, tok_lens,
+                 subm,
+                 rows_slot, cols_slot, rows_leaf, cols_leaf,
+                 rows_is_leaf, cols_is_leaf, cif, swap_ab,
+                 la, lb, soff, eff_pen, nsip_r, nsip_c,
+                 sip_a, sip_b, base_pen, eps,
+                 L1p, L2p, S, use_pallas, bt, R):
+    """One level bucket, fully on device.
+
+    Index arrays (all [B]): rows_slot/cols_slot into the live buffers
+    (0 when the operand is a leaf), rows_leaf/cols_leaf into tokens,
+    rows_is_leaf/cols_is_leaf flags, cif = "columns side is the leaf"
+    (lhs takes subrows, rhs takes counts — aln_run.c's seq-vs-profile
+    orientation), swap_ab = rows side is task operand b (steps must be
+    mirrored into a/b space).  soff/eff_pen per merge come from the
+    VSM / gap-scale schedule (aln_run.c:126-203), base_pen is the
+    unscaled [gpo, gpe, tgpe] used by the merge bookkeeping
+    (update_n), sip_a/sip_b = nsip of the task's a/b operands.
+
+    Returns steps [B, S] int8 (a/b space), nsteps [B], score [B], and
+    the merged profile arrays [B, Lout=S-2, 23]/[B, Lout, 3].
+    """
+    B = rows_slot.shape[0]
+    Lout = S - 2
+
+    def gather_side(slot, leaf, is_leaf, Lp, soff_v):
+        # live operand rows (static slice to the bucket width)
+        live_c = live_counts[slot][:, :Lp] if live_counts.shape[1] >= Lp \
+            else jnp.pad(live_counts[slot],
+                         ((0, 0), (0, Lp - live_counts.shape[1]), (0, 0)))
+        live_s = live_subrows[slot][:, :Lp] if live_subrows.shape[1] >= Lp \
+            else jnp.pad(live_subrows[slot],
+                         ((0, 0), (0, Lp - live_subrows.shape[1]), (0, 0)))
+        live_p = live_pen[slot][:, :Lp] if live_pen.shape[1] >= Lp \
+            else jnp.pad(live_pen[slot],
+                         ((0, 0), (0, Lp - live_pen.shape[1]), (0, 0)))
+        # leaf operand built in-program from tokens
+        toks = tokens[leaf][:, :Lp] if tokens.shape[1] >= Lp \
+            else jnp.pad(tokens[leaf], ((0, 0), (0, Lp - tokens.shape[1])))
+        tl = tok_lens[leaf]
+        pos = jnp.arange(Lp)[None, :]
+        tvalid = pos < tl[:, None]
+        leaf_c = (jax.nn.one_hot(toks, 23, dtype=jnp.float32)
+                  * tvalid[:, :, None])
+        leaf_s = (subm[toks] - soff_v[:, None, None]) * tvalid[:, :, None]
+        leaf_p = jnp.broadcast_to(eff_pen[:, None, :], (B, Lp, 3)) \
+            * tvalid[:, :, None]
+        sel = is_leaf[:, None, None]
+        return (jnp.where(sel, leaf_c, live_c),
+                jnp.where(sel, leaf_s, live_s),
+                jnp.where(sel, leaf_p, live_p))
+
+    r_counts, r_subrows, r_pen = gather_side(rows_slot, rows_leaf,
+                                             rows_is_leaf, L1p, soff)
+    c_counts, c_subrows, c_pen = gather_side(cols_slot, cols_leaf,
+                                             cols_is_leaf, L2p, soff)
+
+    csel = cif[:, None, None]
+    lhs = jnp.where(csel, r_subrows, r_counts)
+    rhs = jnp.where(csel, c_counts, c_subrows)
+
+    # per-column DP penalties: pc [B, 3, L2p+1] etc, body at 1..len
+    pc = jnp.concatenate(
+        [jnp.zeros((B, 1, 3), jnp.float32),
+         c_pen * nsip_r[:, None, None].astype(jnp.float32)],
+        axis=1).transpose(0, 2, 1)
+    pr = jnp.concatenate(
+        [jnp.zeros((B, 1, 3), jnp.float32),
+         r_pen * nsip_c[:, None, None].astype(jnp.float32)],
+        axis=1).transpose(0, 2, 1)
+
+    match = jax.lax.dot_general(
+        lhs, rhs, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)          # [B, L1p, L2p]
+    slope = lb.astype(jnp.float32) / jnp.maximum(la.astype(jnp.float32), 1.0)
+
+    if use_pallas:
+        from kalign_tpu.tpu.gotoh_pallas import gotoh_forward_pallas
+        dec, score, st = gotoh_forward_pallas(
+            match, pc, pr, la, lb, bt=bt, rows_per_step=R, with_dec=True,
+            slope=slope, bias_eps=eps)
+    else:
+        from kalign_tpu.tpu import gotoh
+        ii = jnp.arange(1, L1p + 1, dtype=jnp.float32)[None, :, None]
+        jj = jnp.arange(1, L2p + 1, dtype=jnp.float32)[None, None, :]
+        dev = jnp.abs(jj - ii * slope[:, None, None])
+        match = match - dev * eps[:, None, None]
+        dec, score, st = jax.vmap(
+            lambda m, c, r, a, b: gotoh.gotoh_forward(
+                m, c[0], c[1], c[2], r[0], r[1], r[2], a, b)
+        )(match, pc, pr, la, lb)
+        # gotoh_forward's dec includes DP row/col 0; traceback_batch
+        # expects the compact Pallas layout (row r = DP row r+1)
+        dec = dec[:, 1:, 1:]
+
+    from kalign_tpu.tpu.traceback import traceback_batch
+    steps_rc, nsteps = traceback_batch(dec, la, lb, st, S)
+
+    # rows/cols -> a/b step space (mirror_path_n, aln_setup.c:438-462)
+    mirrored = jnp.where(steps_rc == 1, 2,
+                         jnp.where(steps_rc == 2, 1, steps_rc))
+    steps = jnp.where(swap_ab[:, None], mirrored, steps_rc).astype(jnp.int8)
+    # a/b operand widths differ (L1p vs L2p) — pad both to max for the
+    # uniform gather below
+    Lmax_in = max(L1p, L2p)
+
+    def swap_pad(r_arr, c_arr):
+        rp = jnp.pad(r_arr, ((0, 0), (0, Lmax_in - L1p), (0, 0)))
+        cp = jnp.pad(c_arr, ((0, 0), (0, Lmax_in - L2p), (0, 0)))
+        a = jnp.where(swap_ab[:, None, None], cp, rp)
+        b = jnp.where(swap_ab[:, None, None], rp, cp)
+        return a, b
+
+    a_counts, b_counts = swap_pad(r_counts, c_counts)
+    a_subrows, b_subrows = swap_pad(r_subrows, c_subrows)
+    a_pen, b_pen = swap_pad(r_pen, c_pen)
+
+    # ---- profile merge along the path (merge_profiles semantics) ----
+    t = jnp.arange(S)[None, :]
+    valid = t < nsteps[:, None]
+    is_ga = (steps == 1) & valid
+    is_gb = (steps == 2) & valid
+    is_m = (steps == 0) & valid
+    ai = jnp.cumsum((steps != 1).astype(jnp.int32), axis=1) - 1
+    bi = jnp.cumsum((steps != 2).astype(jnp.int32), axis=1) - 1
+    aic = jnp.clip(ai, 0, Lmax_in - 1)
+    bic = jnp.clip(bi, 0, Lmax_in - 1)
+
+    ga = jnp.take_along_axis(a_counts, aic[:, :, None], axis=1)
+    gb = jnp.take_along_axis(b_counts, bic[:, :, None], axis=1)
+    sa = jnp.take_along_axis(a_subrows, aic[:, :, None], axis=1)
+    sb = jnp.take_along_axis(b_subrows, bic[:, :, None], axis=1)
+    pa = jnp.take_along_axis(a_pen, aic[:, :, None], axis=1)
+    pb = jnp.take_along_axis(b_pen, bic[:, :, None], axis=1)
+
+    use_a = (is_m | is_gb)[:, :, None]
+    use_b = (is_m | is_ga)[:, :, None]
+    counts_new = jnp.where(use_a, ga, 0.0) + jnp.where(use_b, gb, 0.0)
+    subrows_new = jnp.where(use_a, sa, 0.0) + jnp.where(use_b, sb, 0.0)
+    pen_new = jnp.where(use_a, pa, 0.0) + jnp.where(use_b, pb, 0.0)
+
+    # terminal mask: leading + trailing nonzero-step runs
+    BIG = jnp.int32(1 << 30)
+    mpos = jnp.where(is_m, t, BIG)
+    fz = jnp.min(mpos, axis=1)[:, None]
+    mneg = jnp.where(is_m, t, -1)
+    lz = jnp.max(mneg, axis=1)[:, None]
+    term = valid & ((t < fz) | (t > lz))
+
+    gpo_b = base_pen[:, 0:1]
+    gpe_b = base_pen[:, 1:2]
+    tgpe_b = base_pen[:, 2:3]
+    sipa = sip_a[:, None].astype(jnp.float32)
+    sipb = sip_b[:, None].astype(jnp.float32)
+    gp = jnp.zeros((B, S), jnp.float32)
+    gp = jnp.where(is_ga & term, tgpe_b * sipa, gp)
+    gp = jnp.where(is_ga & ~term, gpe_b * sipa, gp)
+    gp = jnp.where(is_gb & term, tgpe_b * sipb, gp)
+    gp = jnp.where(is_gb & ~term, gpe_b * sipb, gp)
+    subrows_new = subrows_new - gp[:, :, None]
+
+    return (steps, nsteps.astype(jnp.int32), score,
+            counts_new[:, :Lout], subrows_new[:, :Lout], pen_new[:, :Lout])
+
+
+# ---------------------------------------------------------------------------
+# gap weave (weave_alignment.c) applied on device for a level bucket
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _bucket_gap_profiles(steps, nsteps):
+    """Per-merge gap insertion counts: gap_a[k][p] = #gaps inserted
+    before residue p of side a (bincount of posa at ga steps), stacked
+    [2, B, S+2] for (a, b)."""
+    B, S = steps.shape
+    t = jnp.arange(S)[None, :]
+    valid = t < nsteps[:, None]
+    posa = jnp.cumsum((steps != 1).astype(jnp.int32), axis=1)
+    posb = jnp.cumsum((steps != 2).astype(jnp.int32), axis=1)
+    is_ga = (steps == 1) & valid
+    is_gb = (steps == 2) & valid
+    rows = jnp.broadcast_to(jnp.arange(B)[:, None], (B, S))
+    gap_a = jnp.zeros((B, S + 2), jnp.int32).at[
+        rows, jnp.clip(posa, 0, S + 1)].add(is_ga.astype(jnp.int32))
+    gap_b = jnp.zeros((B, S + 2), jnp.int32).at[
+        rows, jnp.clip(posb, 0, S + 1)].add(is_gb.astype(jnp.int32))
+    return jnp.stack([gap_a, gap_b], axis=0)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _weave_apply(gaps_buf, gap_ab, mem_seq, mem_row, mem_len):
+    """Compose newly inserted gaps into member gap lists
+    (weave_alignment.c:41-112 update_gaps, batched over members).
+
+    gaps_buf [n, Lg] i32; gap_ab [2, B, S+2]; mem_seq/mem_row/mem_len
+    [m]: sequence id, flattened (side*B + item) row, sequence length."""
+    n, Lg = gaps_buf.shape
+    two, B, S2 = gap_ab.shape
+    newg = gap_ab.reshape(two * B, S2)[mem_row]          # [m, S+2]
+    Scum = jnp.concatenate(
+        [jnp.zeros((newg.shape[0], 1), jnp.int32),
+         jnp.cumsum(newg, axis=1)], axis=1)              # [m, S+3]
+    g = gaps_buf[mem_seq]                                # [m, Lg]
+    rel = jnp.concatenate(
+        [jnp.zeros((g.shape[0], 1), jnp.int32),
+         jnp.cumsum(g + 1, axis=1)[:, :-1]], axis=1)     # [m, Lg]
+    hi = jnp.clip(rel + g + 1, 0, S2)
+    lo = jnp.clip(rel, 0, S2)
+    add = (jnp.take_along_axis(Scum, hi, axis=1)
+           - jnp.take_along_axis(Scum, lo, axis=1))
+    pos = jnp.arange(Lg)[None, :]
+    g_new = jnp.where(pos <= mem_len[:, None], g + add, g)
+    return gaps_buf.at[mem_seq].set(g_new)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("W",))
+def _scatter_live(dst, src, dst_rows, W):
+    """dst[dst_rows, :W, :] = src[:, :W, :] (consolidation scatter)."""
+    return dst.at[dst_rows, :W, :].set(src[:, :W, :])
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("W",))
+def _copy_live(dst, src, dst_rows, src_rows, W):
+    return dst.at[dst_rows, :W, :].set(src[src_rows, :W, :])
+
+
+# ---------------------------------------------------------------------------
+# host-side driver
+# ---------------------------------------------------------------------------
+
+class ResidentPass:
+    """One bottom-up progressive pass with device-resident state.
+
+    Restrictions (callers fall back to the host-assembled path
+    otherwise): single device, one bias candidate per merge
+    (REFINE_NONE), no consistency table."""
+
+    def __init__(self, engine, codes, ap: P.AlnParam, sd, eps: float):
+        self.engine = engine
+        self.codes = codes
+        self.ap = ap
+        self.sd = sd
+        self.eps = float(eps)
+        self.n = len(codes)
+        self.lens = [len(c) for c in codes]
+
+    def run(self, order, task_index, levels, sip, nsip):
+        eng = self.engine
+        n = self.n
+        lens = self.lens
+        ap = self.ap
+        conf = np.zeros(n - 1, dtype=np.float32)
+
+        # device-constant inputs
+        Lt = _bucket(max(lens))
+        tokens_h = np.zeros((n, Lt), np.uint8)
+        for i, c in enumerate(self.codes):
+            tokens_h[i, :len(c)] = c
+        tokens = jnp.asarray(tokens_h)
+        tok_lens = jnp.asarray(np.asarray(lens, np.int32))
+        subm = jnp.asarray(np.asarray(ap.subm, np.float32))
+
+        Lg = max(lens) + 1
+        gaps_buf = jnp.zeros((n, Lg), jnp.int32)
+
+        # live profile store (merged nodes only; leaves built in-program)
+        live = None          # (counts [M, Lc, 23], subrows, pen [M, Lc, 3])
+        live_rows = 8
+        live_cap = 128
+        slot_of = {}         # node -> row in live buffers
+        len_of = {i: lens[i] for i in range(n)}
+        free_rows: List[int] = []
+
+        score_stash = []     # (task_ids, device score array, B_real)
+
+        def ensure_live(min_rows, min_cap):
+            nonlocal live, live_rows, live_cap, free_rows
+            rows = _pow2(max(min_rows, live_rows))
+            cap = _bucket(max(min_cap, live_cap))
+            if live is None:
+                live_rows, live_cap = rows, cap
+                live = (jnp.zeros((rows, cap, 23), jnp.float32),
+                        jnp.zeros((rows, cap, 23), jnp.float32),
+                        jnp.zeros((rows, cap, 3), jnp.float32))
+                free_rows = list(range(rows))
+                return
+            if rows > live_rows or cap > live_cap:
+                pc_, ps_, pp_ = live
+                padr = rows - live_rows
+                padc = cap - live_cap
+                live = tuple(
+                    jnp.pad(a, ((0, padr), (0, padc), (0, 0)))
+                    for a in (pc_, ps_, pp_))
+                free_rows.extend(range(live_rows, rows))
+                live_rows, live_cap = rows, cap
+
+        ensure_live(8, 128)
+
+        for lv_nodes in levels:
+            # ---- host: orientation + bucketing from known lengths ----
+            batch = []
+            for c in lv_nodes:
+                t_idx = task_index[c]
+                a, b = int(order[t_idx][0]), int(order[t_idx][1])
+                eff = eng._effective(ap, self.sd, sip, a, b, n)
+                leaf_a = nsip[a] == 1
+                leaf_b = nsip[b] == 1
+                la_, lb_ = len_of[a], len_of[b]
+                if leaf_a and not leaf_b:
+                    rn, cn = b, a
+                elif leaf_b and not leaf_a:
+                    rn, cn = a, b
+                elif la_ <= lb_:
+                    rn, cn = a, b
+                else:
+                    rn, cn = b, a
+                cif = nsip[cn] == 1 and not (leaf_a and leaf_b)
+                batch.append((c, a, b, rn, cn, cif, eff))
+
+            buckets = {}
+            for item in batch:
+                c, a, b, rn, cn, cif, eff = item
+                key = (_bucket(len_of[rn]), _bucket(len_of[cn]))
+                buckets.setdefault(key, []).append(item)
+
+            # ---- dispatch every bucket (async) ----
+            dispatched = []
+            for (L1p, L2p), items in sorted(buckets.items()):
+                B = len(items)
+                Bp = _pow2(B)
+                S = L1p + L2p + 2
+
+                def arr(fill, dtype):
+                    return np.full(Bp, fill, dtype)
+
+                rows_slot = arr(0, np.int32)
+                cols_slot = arr(0, np.int32)
+                rows_leaf = arr(0, np.int32)
+                cols_leaf = arr(0, np.int32)
+                rows_is_leaf = arr(False, bool)
+                cols_is_leaf = arr(False, bool)
+                cif_v = arr(False, bool)
+                swap_ab = arr(False, bool)
+                la_v = arr(8, np.int32)
+                lb_v = arr(8, np.int32)
+                soff_v = arr(0.0, np.float32)
+                eff_pen = np.zeros((Bp, 3), np.float32)
+                nsip_r = arr(1, np.int32)
+                nsip_c = arr(1, np.int32)
+                sip_a_v = arr(1, np.int32)
+                sip_b_v = arr(1, np.int32)
+                base_pen = np.tile(np.array(
+                    [ap.gpo, ap.gpe, ap.tgpe], np.float32), (Bp, 1))
+                eps_v = np.full(Bp, self.eps, np.float32)
+
+                for k, (c, a, b, rn, cn, cif, eff) in enumerate(items):
+                    la_v[k] = len_of[rn]
+                    lb_v[k] = len_of[cn]
+                    cif_v[k] = cif
+                    swap_ab[k] = (rn != a)
+                    soff_v[k] = eff.subm_offset
+                    eff_pen[k] = [-eff.gpo, -eff.gpe, -eff.tgpe]
+                    nsip_r[k] = nsip[rn]
+                    nsip_c[k] = nsip[cn]
+                    sip_a_v[k] = nsip[a]
+                    sip_b_v[k] = nsip[b]
+                    for side, node in ((0, rn), (1, cn)):
+                        if nsip[node] == 1:
+                            if side == 0:
+                                rows_is_leaf[k] = True
+                                rows_leaf[k] = node
+                            else:
+                                cols_is_leaf[k] = True
+                                cols_leaf[k] = node
+                        else:
+                            if side == 0:
+                                rows_slot[k] = slot_of[node]
+                            else:
+                                cols_slot[k] = slot_of[node]
+
+                use_pallas = eng.use_pallas
+                bt, R = 8, 8
+                if use_pallas:
+                    from kalign_tpu.tpu.gotoh_pallas import pick_plan
+                    bt, R, feasible = pick_plan(Bp, L2p)
+                    bt = min(bt, Bp)
+                    if not feasible:
+                        return None  # caller falls back entirely
+
+                cap = eng._max_launch(L1p, L2p)
+                outs = []
+                for lo in range(0, Bp, cap):
+                    hi = min(lo + cap, Bp)
+                    sl = slice(lo, hi)
+                    outs.append(_bucket_step(
+                        live[0], live[1], live[2], tokens, tok_lens, subm,
+                        jnp.asarray(rows_slot[sl]), jnp.asarray(cols_slot[sl]),
+                        jnp.asarray(rows_leaf[sl]), jnp.asarray(cols_leaf[sl]),
+                        jnp.asarray(rows_is_leaf[sl]),
+                        jnp.asarray(cols_is_leaf[sl]),
+                        jnp.asarray(cif_v[sl]), jnp.asarray(swap_ab[sl]),
+                        jnp.asarray(la_v[sl]), jnp.asarray(lb_v[sl]),
+                        jnp.asarray(soff_v[sl]), jnp.asarray(eff_pen[sl]),
+                        jnp.asarray(nsip_r[sl]), jnp.asarray(nsip_c[sl]),
+                        jnp.asarray(sip_a_v[sl]), jnp.asarray(sip_b_v[sl]),
+                        jnp.asarray(base_pen[sl]), jnp.asarray(eps_v[sl]),
+                        L1p=L1p, L2p=L2p, S=S, use_pallas=use_pallas,
+                        bt=min(bt, hi - lo), R=R))
+                if len(outs) == 1:
+                    steps, nsteps, score, cnew, snew, pnew = outs[0]
+                else:
+                    steps, nsteps, score, cnew, snew, pnew = (
+                        jnp.concatenate([o[i] for o in outs])
+                        for i in range(6))
+                dispatched.append(
+                    ((L1p, L2p), items, B, steps, nsteps, score,
+                     cnew, snew, pnew))
+
+            # ---- weave every bucket's gaps into gaps_buf (on device) --
+            for (L1p, L2p), items, B, steps, nsteps, score, *_ in dispatched:
+                gap_ab = _bucket_gap_profiles(steps, nsteps)
+                mem_seq, mem_row, mem_len = [], [], []
+                Bp = steps.shape[0]
+                for k, (c, a, b, rn, cn, cif, eff) in enumerate(items):
+                    for m in sip[a]:
+                        mem_seq.append(m)
+                        mem_row.append(0 * Bp + k)
+                        mem_len.append(lens[m])
+                    for m in sip[b]:
+                        mem_seq.append(m)
+                        mem_row.append(1 * Bp + k)
+                        mem_len.append(lens[m])
+                gaps_buf = _weave_apply(
+                    gaps_buf, gap_ab,
+                    jnp.asarray(np.asarray(mem_seq, np.int32)),
+                    jnp.asarray(np.asarray(mem_row, np.int32)),
+                    jnp.asarray(np.asarray(mem_len, np.int32)))
+
+            # ---- the ONLY per-level fetch: new profile lengths ----
+            fetched = jax.device_get([d[4] for d in dispatched])
+
+            # ---- host bookkeeping + consolidation scatter ----
+            new_nodes = []
+            for ((L1p, L2p), items, B, steps, nsteps, score,
+                 cnew, snew, pnew), ns in zip(dispatched, fetched):
+                score_stash.append(
+                    ([task_index[it[0]] for it in items], score, B))
+                for k, (c, a, b, rn, cn, cif, eff) in enumerate(items):
+                    len_of[c] = int(ns[k])
+                    nsip[c] = nsip[a] + nsip[b]
+                    sip[c] = list(reversed(sip[a])) + list(reversed(sip[b]))
+                    for child in (a, b):
+                        if child in slot_of:
+                            free_rows.append(slot_of.pop(child))
+                new_nodes.append((items, cnew, snew, pnew))
+
+            max_new_len = max((len_of[it[0]] for its, *_ in new_nodes
+                               for it in its), default=0)
+            used_rows = live_rows - len(free_rows)
+            total_rows = used_rows + sum(len(its) for its, *_ in new_nodes)
+            ensure_live(total_rows, max(max_new_len, 1))
+
+            for items, cnew, snew, pnew in new_nodes:
+                dst = []
+                for (c, *_rest) in items:
+                    row = free_rows.pop()
+                    slot_of[c] = row
+                    dst.append(row)
+                W = min(cnew.shape[1], live_cap)
+                dstj = jnp.asarray(np.asarray(dst, np.int32))
+                Breal = len(items)
+                lc, ls, lp = live
+                lc = _scatter_live(lc, cnew[:Breal], dstj, W)
+                ls = _scatter_live(ls, snew[:Breal], dstj, W)
+                lp = _scatter_live(lp, pnew[:Breal], dstj, W)
+                live = (lc, ls, lp)
+
+        # ---- final transfers: gap state + stashed scores (one fetch) --
+        fetched = jax.device_get([gaps_buf] + [s[1] for s in score_stash])
+        gaps_h = np.asarray(fetched[0])
+        gaps = [gaps_h[i, :lens[i] + 1].tolist() for i in range(n)]
+        for (task_ids, _, Breal), sc in zip(score_stash, fetched[1:]):
+            sc = np.asarray(sc)
+            for j, tid in enumerate(task_ids):
+                conf[tid] = sc[j]
+        return gaps, conf

@@ -1,0 +1,132 @@
+"""Differential tests for the device-resident progressive pass
+(kalign_tpu/tpu/resident.py) against the host-assembled tpu-fast
+engine.
+
+The resident pass keeps profiles and gap state on device between guide
+-tree levels; its per-merge semantics (assembly values, DP, merge
+arithmetic, weave integer ops) mirror the host-assembled path exactly,
+so on a fixed backend the outputs are byte-identical today.  The weave
+kernel additionally gets a property test against the numpy
+implementation (the reference's weave_alignment.c semantics).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+def _run(resident, path, monkeypatch):
+    from kalign_tpu.core import io as kio
+    from kalign_tpu import engine as E
+    if resident:
+        monkeypatch.delenv("KALIGN_TPU_NO_RESIDENT", raising=False)
+    else:
+        monkeypatch.setenv("KALIGN_TPU_NO_RESIDENT", "1")
+    m = kio.read_alignment(path)
+    m.quiet = True
+    out = E.align_msa(m, consistency_anchors=0, engine="tpu-fast")
+    return out
+
+
+@pytest.mark.parametrize("case", ["BB11001", "BB12006"])
+def test_resident_matches_host_assembled(case, monkeypatch, tmp_path):
+    from kalign_tpu.core import io as kio
+    from conftest import DATA
+    path = os.path.join(DATA, case + ".tfa")
+    a = kio.write_fasta(_run(False, path, monkeypatch))
+    b = kio.write_fasta(_run(True, path, monkeypatch))
+    assert a == b
+
+
+def test_resident_preserves_residues(monkeypatch):
+    from kalign_tpu.core import io as kio
+    from conftest import DATA
+    path = os.path.join(DATA, "BB12006.tfa")
+    out = _run(True, path, monkeypatch)
+    raw = kio.read_alignment(path)
+    src = {s.name: s.seq.replace("-", "") for s in raw.sequences}
+    for s, row in zip(out.sequences, out.aligned_rows()):
+        assert "".join(ch for ch in row if ch != "-") == src[s.name]
+
+
+def test_resident_weave_matches_numpy():
+    """Property test: _weave_apply + _bucket_gap_profiles reproduce
+    weave_steps (weave_alignment.c:41-112) exactly on random valid
+    paths and gap states."""
+    from kalign_tpu.tpu import resident as R
+    from kalign_tpu.tpu.profile import weave_steps
+    import copy
+
+    rng = np.random.default_rng(7)
+
+    def rand_gaps(prof_len):
+        lm = int(rng.integers(1, prof_len + 1))
+        g = np.zeros(lm + 1, np.int64)
+        for _ in range(prof_len - lm):
+            g[rng.integers(0, lm + 1)] += 1
+        return lm, g.tolist()
+
+    for _ in range(60):
+        la = int(rng.integers(3, 15))
+        lb = int(rng.integers(3, 15))
+        steps, i, j = [], 0, 0
+        while i < la or j < lb:
+            c = rng.integers(0, 3)
+            if c == 0 and i < la and j < lb:
+                steps.append(0); i += 1; j += 1
+            elif c == 1 and j < lb:
+                steps.append(1); j += 1
+            elif i < la:
+                steps.append(2); i += 1
+        steps = np.asarray(steps, np.int8)
+        n = len(steps)
+        lens_m, gaps = [], []
+        for prof_len, count in ((la, 2), (lb, 1)):
+            for _ in range(count):
+                lm, g = rand_gaps(prof_len)
+                lens_m.append(lm)
+                gaps.append(g)
+        g_np = copy.deepcopy(gaps)
+        weave_steps(steps, g_np, [0, 1], [2])
+
+        S = n + 3
+        steps_pad = np.full((1, S), 3, np.int8)
+        steps_pad[0, :n] = steps
+        gap_ab = R._bucket_gap_profiles(jnp.asarray(steps_pad),
+                                        jnp.asarray([n], dtype=jnp.int32))
+        Lg = max(lens_m) + 1
+        gbuf = np.zeros((3, Lg), np.int32)
+        for s in range(3):
+            gbuf[s, :len(gaps[s])] = gaps[s]
+        out = np.asarray(R._weave_apply(
+            jnp.asarray(gbuf), gap_ab,
+            jnp.asarray(np.asarray([0, 1, 2], np.int32)),
+            jnp.asarray(np.asarray([0, 0, 1], np.int32)),
+            jnp.asarray(np.asarray(lens_m, np.int32))))
+        for s in range(3):
+            assert out[s, :len(g_np[s])].tolist() == g_np[s]
+
+
+def test_resident_quality_on_simulated_family(monkeypatch):
+    """Resident and host-assembled paths produce equally good
+    alignments on a DSSim family with known ground truth."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from benchmarks.datasets import dssim_cases, materialize
+    from benchmarks import scoring
+
+    case = [c for c in dssim_cases() if c.name == "prot-medium-n16-L150"][0]
+    seqs, names, gold_rows, gold_names = materialize(case)
+    tcs = {}
+    for res in (False, True):
+        if res:
+            monkeypatch.delenv("KALIGN_TPU_NO_RESIDENT", raising=False)
+        else:
+            monkeypatch.setenv("KALIGN_TPU_NO_RESIDENT", "1")
+        r = scoring.score_kalign(seqs, names, gold_rows, gold_names,
+                                 "fast", "tpu-fast", 1)
+        tcs[res] = r["tc"]
+    assert tcs[True] >= tcs[False] - 1e-9
