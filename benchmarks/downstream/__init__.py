@@ -7,9 +7,11 @@ Self-contained analogues that need no external tools:
 
   * phylo        — neighbor-joining trees from tool vs gold alignments,
                    compared by normalized Robinson-Foulds distance.
-  * detection    — profile (PSSM) built from the tool's alignment of a
+  * detection    — profile built from the tool's alignment of a
                    training split; ROC AUC separating held-out family
-                   members from shuffled decoys.
+                   members from shuffled decoys.  Uses REAL hmmer
+                   (hmmbuild/hmmsearch) when installed, a log-odds
+                   PSSM stand-in otherwise (detection.py backends).
   * calibration  — ensemble per-column confidence vs actual column
                    correctness against simulated ground truth.
 

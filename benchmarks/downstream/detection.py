@@ -1,8 +1,22 @@
 """Homology-detection impact: a profile built from a better alignment
 separates family members from decoys better (reference:
-benchmarks/downstream/hmmer_detection.py, without the hmmer binary
-dependency — a log-odds PSSM with Dirichlet pseudocounts stands in for
-the profile HMM)."""
+benchmarks/downstream/hmmer_detection.py).
+
+Two backends:
+
+  * "hmmer" — the real thing, used automatically when hmmbuild +
+    hmmsearch are on PATH (the reference suite's dependency): profile
+    HMM from the tool's training alignment, full-sequence bit scores
+    from hmmsearch --tblout.
+  * "pssm"  — dependency-free stand-in (log-odds PSSM with Dirichlet
+    pseudocounts), used when hmmer is not installed so the suite always
+    runs.
+"""
+
+import os
+import shutil
+import subprocess
+import tempfile
 
 import numpy as np
 
@@ -68,19 +82,71 @@ def roc_auc(pos_scores, neg_scores):
     return float(total / (len(pos) * len(neg)))
 
 
-def detection_auc(train_rows, test_seqs, rng=None, n_decoys_per=2):
+def hmmer_available():
+    return (shutil.which("hmmbuild") is not None
+            and shutil.which("hmmsearch") is not None
+            and not os.environ.get("KALIGN_DOWNSTREAM_NO_HMMER"))
+
+
+def _hmmer_scores(train_rows, seqs, timeout=600):
+    """Full-sequence bit scores of `seqs` against a profile HMM built
+    from the training alignment.  Sequences without a reported hit get
+    the floor score (below every hit)."""
+    with tempfile.TemporaryDirectory(prefix="kal_hmmer_") as d:
+        aln = os.path.join(d, "train.afa")
+        with open(aln, "w") as fh:
+            for i, row in enumerate(train_rows):
+                fh.write(f">t{i}\n{row}\n")
+        hmm = os.path.join(d, "prof.hmm")
+        subprocess.run(["hmmbuild", "--amino", hmm, aln], check=True,
+                       capture_output=True, timeout=timeout)
+        db = os.path.join(d, "db.fa")
+        with open(db, "w") as fh:
+            for i, s in enumerate(seqs):
+                fh.write(f">q{i}\n{s}\n")
+        tbl = os.path.join(d, "hits.tbl")
+        subprocess.run(["hmmsearch", "--tblout", tbl, "--max", "-E",
+                        "1000000", hmm, db], check=True,
+                       capture_output=True, timeout=timeout)
+        hits = {}
+        with open(tbl) as fh:
+            for line in fh:
+                if line.startswith("#"):
+                    continue
+                parts = line.split()
+                if len(parts) > 5:
+                    # tblout: target, t-acc, query, q-acc, E, SCORE, ...
+                    hits[parts[0]] = float(parts[5])
+        floor = min(hits.values(), default=0.0) - 100.0
+        return [hits.get(f"q{i}", floor) for i in range(len(seqs))]
+
+
+def detection_auc(train_rows, test_seqs, rng=None, n_decoys_per=2,
+                  backend="auto"):
     """AUC separating held-out family members from shuffled decoys
     using a profile built from the tool's alignment of the training
-    split.  Higher = the alignment preserved more family signal."""
+    split.  Higher = the alignment preserved more family signal.
+
+    backend: "hmmer" (real hmmbuild/hmmsearch), "pssm" (dependency-free
+    stand-in), or "auto" (hmmer when installed)."""
     rng = rng or np.random.default_rng(0)
-    pssm = build_pssm(train_rows)
-    pos = [score_sequence(pssm, s) for s in test_seqs]
-    neg = []
+    if backend == "auto":
+        backend = "hmmer" if hmmer_available() else "pssm"
+    decoys = []
     for s in test_seqs:
         for _ in range(n_decoys_per):
             sh = list(s)
             rng.shuffle(sh)
-            neg.append(score_sequence(pssm, "".join(sh)))
-    return {"auc": round(roc_auc(pos, neg), 4),
+            decoys.append("".join(sh))
+    if backend == "hmmer":
+        scores = _hmmer_scores(train_rows, list(test_seqs) + decoys)
+        pos = scores[:len(test_seqs)]
+        neg = scores[len(test_seqs):]
+        return {"auc": round(roc_auc(pos, neg), 4), "backend": "hmmer",
+                "n_pos": len(pos), "n_neg": len(neg)}
+    pssm = build_pssm(train_rows)
+    pos = [score_sequence(pssm, s) for s in test_seqs]
+    neg = [score_sequence(pssm, s) for s in decoys]
+    return {"auc": round(roc_auc(pos, neg), 4), "backend": "pssm",
             "n_pos": len(pos), "n_neg": len(neg),
             "core_cols": int(pssm.shape[0])}

@@ -322,6 +322,22 @@ def align_msa(msa: Msa, n_threads: int = 1, type_: int = 0,
             tasks, seq_dist = _build_guide_tree(msa, eng, noise_rng,
                                                 tree_noise)
     msa.seq_distances = seq_dist
+    # Divergent-family auto-routing: the throughput engine's equal-score
+    # tie-breaking loses real column accuracy exactly where alignment is
+    # hardest (BB30014: TC 0.45 vs host 0.47).  Families whose mean
+    # normalized anchor distance exceeds 0.5 (well above the hardest
+    # DSSim sweeps at ~0.44, below only genuinely divergent sets) route
+    # to the bit-exact device engine when small enough that the exact
+    # path's latency is immaterial.  Opt out: KALIGN_TPU_NO_AUTOROUTE=1.
+    if engine in ("tpu-fast", "tpu-mesh") and msa.numseq <= 2048:
+        import os as _os
+        if not _os.environ.get("KALIGN_TPU_NO_AUTOROUTE"):
+            mean_sd = float(np.mean(np.asarray(seq_dist, np.float64)))
+            if mean_sd > 0.5:
+                log(f"Divergent family (mean distance {mean_sd:.2f}): "
+                    "using the exact engine", quiet)
+                engine = "tpu"
+                eng = get_engine(engine, n_threads)
     if save_checkpoint is not None:
         import os as _os
         from kalign_tpu import checkpoint as ckpt

@@ -175,7 +175,22 @@ class TpuEngine:
         out[:, :len(anchors)] = dm
         return out
 
+    # device tree builds pay off once the serial native k-means is no
+    # longer trivial next to the rest of the pipeline
+    DEVICE_TREE_MIN_SEQS = 2048
+
     def build_tree(self, codes, dm, n_anchors):
+        import os
+        n = len(codes)
+        want = os.environ.get("KALIGN_TPU_DEVICE_TREE")
+        use_device = (want == "1") or (
+            want is None and self.use_pallas
+            and n >= self.DEVICE_TREE_MIN_SEQS)
+        if want == "0":
+            use_device = False
+        if use_device:
+            from kalign_tpu.tpu.kmeans import build_tree_device
+            return build_tree_device(self, codes, dm, n_anchors)
         return self.host.build_tree(codes, dm, n_anchors)
 
     def build_tree_pairwise(self, dm):

@@ -1,0 +1,101 @@
+"""Tests: divergent-family auto-routing and the device-batched k-means
+guide tree (VERDICT r2 items 5 and 8)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from conftest import DATA  # noqa: E402
+
+
+def test_autoroute_divergent_family_matches_host(monkeypatch, tmp_path):
+    """BB30014 (mean anchor distance ~0.55) must route tpu-fast to the
+    bit-exact engine and therefore match the host engine byte-for-byte
+    (closing the divergent-family TC gap)."""
+    from kalign_tpu import cli
+    monkeypatch.delenv("KALIGN_TPU_NO_AUTOROUTE", raising=False)
+    r = str(tmp_path / "r.afa")
+    h = str(tmp_path / "h.afa")
+    assert cli.main(["-i", os.path.join(DATA, "BB30014.tfa"), "-o", r,
+                     "-q", "--engine", "tpu-fast"]) == 0
+    assert cli.main(["-i", os.path.join(DATA, "BB30014.tfa"), "-o", h,
+                     "-q", "--engine", "host"]) == 0
+    assert open(r).read() == open(h).read()
+
+
+def test_autoroute_leaves_close_families_alone(monkeypatch, tmp_path):
+    """BB12006 (mean distance ~0.40) must NOT route: the throughput
+    engine output (tie-breaking differs from host) is expected."""
+    from kalign_tpu import engine as E
+    from kalign_tpu.core import io as kio
+    monkeypatch.delenv("KALIGN_TPU_NO_AUTOROUTE", raising=False)
+    captured = []
+    orig = E.get_engine
+
+    def spy(name, *a, **k):
+        captured.append(name)
+        return orig(name, *a, **k)
+    monkeypatch.setattr(E, "get_engine", spy)
+    m = kio.read_alignment(os.path.join(DATA, "BB12006.tfa"))
+    m.quiet = True
+    E.align_msa(m, engine="tpu-fast")
+    assert "tpu" not in captured  # no exact-engine re-resolution
+
+
+def test_device_tree_quality_parity(monkeypatch):
+    """The device-batched k-means tree (tpu/kmeans.py) must produce
+    alignments at least as good as the native tree on a simulated
+    family with ground truth (trees may differ; quality must not)."""
+    from benchmarks.datasets import dssim_cases, materialize
+    from benchmarks import scoring
+
+    case = [c for c in dssim_cases() if c.name == "prot-medium-n32-L300"][0]
+    seqs, names, gold_rows, gold_names = materialize(case)
+    tcs = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("KALIGN_TPU_DEVICE_TREE", mode)
+        r = scoring.score_kalign(seqs, names, gold_rows, gold_names,
+                                 "fast", "tpu-fast", 1)
+        tcs[mode] = r["tc"]
+    assert tcs["1"] >= tcs["0"] - 0.02
+
+
+def test_device_tree_structure_valid(monkeypatch):
+    """Device tree task list is a valid full binary merge order: each
+    internal node appears once as c, children referenced after
+    creation, root = 2n-2."""
+    import jax
+    from kalign_tpu.core import io as kio
+    from kalign_tpu import engine as EE
+    from kalign_tpu.core import alphabet as alpha
+    from kalign_tpu.tpu.engine import TpuEngine
+    from kalign_tpu.tpu.kmeans import build_tree_device
+
+    m = kio.read_alignment(os.path.join(DATA, "BB30014.tfa"))
+    m.quiet = True
+    m.essential_input_check()
+    m.dealign()
+    m.sort_len_name()
+    codes = EE._encoded(m, alpha.ALPHA_REDUCED_PROTEIN)
+    eng = TpuEngine(1)
+    from kalign_tpu.engine import HostEngine, pick_anchors
+    he = HostEngine(1)
+    anchors = pick_anchors(m)
+    dm = he.anchor_distances(codes, anchors)
+    tasks, seq_dist = build_tree_device(eng, codes, dm, len(anchors))
+    n = len(codes)
+    assert tasks.shape == (n - 1, 3)
+    cs = sorted(int(c) for _, _, c in tasks)
+    assert cs == list(range(n, 2 * n - 1))
+    seen = set(range(n))
+    used = set()
+    for a, b, c in sorted(tasks, key=lambda t: t[2]):
+        assert int(a) in seen and int(b) in seen
+        assert int(a) not in used and int(b) not in used
+        used.update((int(a), int(b)))
+        seen.add(int(c))
+    assert len(seq_dist) == n and np.all(seq_dist >= 0)
