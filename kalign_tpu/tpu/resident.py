@@ -476,53 +476,62 @@ class ResidentPass:
                         jnp.asarray(base_pen[sl]), jnp.asarray(eps_v[sl]),
                         L1p=L1p, L2p=L2p, S=S, use_pallas=use_pallas,
                         bt=min(bt, hi - lo), R=R))
-                if len(outs) == 1:
-                    steps, nsteps, score, cnew, snew, pnew = outs[0]
-                else:
-                    steps, nsteps, score, cnew, snew, pnew = (
-                        jnp.concatenate([o[i] for o in outs])
-                        for i in range(6))
-                dispatched.append(
-                    ((L1p, L2p), items, B, steps, nsteps, score,
-                     cnew, snew, pnew))
+                # keep per-chunk outputs (concatenating the merged
+                # profile arrays would double the transient HBM peak at
+                # 10^5-sequence scale)
+                chunk_items = [items[lo:lo + cap]
+                               for lo in range(0, Bp, cap)]
+                dispatched.append(((L1p, L2p), chunk_items, outs))
 
-            # ---- weave every bucket's gaps into gaps_buf (on device) --
-            for (L1p, L2p), items, B, steps, nsteps, score, *_ in dispatched:
-                gap_ab = _bucket_gap_profiles(steps, nsteps)
-                mem_seq, mem_row, mem_len = [], [], []
-                Bp = steps.shape[0]
-                for k, (c, a, b, rn, cn, cif, eff) in enumerate(items):
-                    for m in sip[a]:
-                        mem_seq.append(m)
-                        mem_row.append(0 * Bp + k)
-                        mem_len.append(lens[m])
-                    for m in sip[b]:
-                        mem_seq.append(m)
-                        mem_row.append(1 * Bp + k)
-                        mem_len.append(lens[m])
-                gaps_buf = _weave_apply(
-                    gaps_buf, gap_ab,
-                    jnp.asarray(np.asarray(mem_seq, np.int32)),
-                    jnp.asarray(np.asarray(mem_row, np.int32)),
-                    jnp.asarray(np.asarray(mem_len, np.int32)))
+            # ---- weave every chunk's gaps into gaps_buf (on device) --
+            for (L1p, L2p), chunk_items, outs in dispatched:
+                for citems, out in zip(chunk_items, outs):
+                    steps, nsteps = out[0], out[1]
+                    if not citems:
+                        continue
+                    gap_ab = _bucket_gap_profiles(steps, nsteps)
+                    mem_seq, mem_row, mem_len = [], [], []
+                    Bc = steps.shape[0]
+                    for k, (c, a, b, rn, cn, cif, eff) in enumerate(citems):
+                        for m in sip[a]:
+                            mem_seq.append(m)
+                            mem_row.append(0 * Bc + k)
+                            mem_len.append(lens[m])
+                        for m in sip[b]:
+                            mem_seq.append(m)
+                            mem_row.append(1 * Bc + k)
+                            mem_len.append(lens[m])
+                    gaps_buf = _weave_apply(
+                        gaps_buf, gap_ab,
+                        jnp.asarray(np.asarray(mem_seq, np.int32)),
+                        jnp.asarray(np.asarray(mem_row, np.int32)),
+                        jnp.asarray(np.asarray(mem_len, np.int32)))
 
             # ---- the ONLY per-level fetch: new profile lengths ----
-            fetched = jax.device_get([d[4] for d in dispatched])
+            fetched = jax.device_get(
+                [out[1] for _, _, outs in dispatched for out in outs])
+            fetch_it = iter(fetched)
 
             # ---- host bookkeeping + consolidation scatter ----
             new_nodes = []
-            for ((L1p, L2p), items, B, steps, nsteps, score,
-                 cnew, snew, pnew), ns in zip(dispatched, fetched):
-                score_stash.append(
-                    ([task_index[it[0]] for it in items], score, B))
-                for k, (c, a, b, rn, cn, cif, eff) in enumerate(items):
-                    len_of[c] = int(ns[k])
-                    nsip[c] = nsip[a] + nsip[b]
-                    sip[c] = list(reversed(sip[a])) + list(reversed(sip[b]))
-                    for child in (a, b):
-                        if child in slot_of:
-                            free_rows.append(slot_of.pop(child))
-                new_nodes.append((items, cnew, snew, pnew))
+            for (L1p, L2p), chunk_items, outs in dispatched:
+                for citems, out in zip(chunk_items, outs):
+                    ns = next(fetch_it)
+                    if not citems:
+                        continue
+                    _, _, score, cnew, snew, pnew = out
+                    score_stash.append(
+                        ([task_index[it[0]] for it in citems], score,
+                         len(citems)))
+                    for k, (c, a, b, rn, cn, cif, eff) in enumerate(citems):
+                        len_of[c] = int(ns[k])
+                        nsip[c] = nsip[a] + nsip[b]
+                        sip[c] = list(reversed(sip[a])) \
+                            + list(reversed(sip[b]))
+                        for child in (a, b):
+                            if child in slot_of:
+                                free_rows.append(slot_of.pop(child))
+                    new_nodes.append((citems, cnew, snew, pnew))
 
             max_new_len = max((len_of[it[0]] for its, *_ in new_nodes
                                for it in its), default=0)
