@@ -493,16 +493,17 @@ class TpuEngine:
                 lambda t: full if disagree[t] else (1e-3,))
             return gaps, conf
         cand = (1e-3,) if refine_mode == P.REFINE_NONE else full
-        if refine_mode == P.REFINE_NONE and ct is None:
+        if refine_mode == P.REFINE_NONE:
             res = self._progressive_resident(codes, tasks, ap, sd,
-                                             eps=cand[0])
+                                             eps=cand[0], ct=ct)
             if res is not None:
                 return res
         gaps, conf, _ = self._progressive(codes, tasks, ap, sd, ct,
                                           lambda t: cand)
         return gaps, conf
 
-    def _progressive_resident(self, codes, tasks, ap: P.AlnParam, sd, eps):
+    def _progressive_resident(self, codes, tasks, ap: P.AlnParam, sd, eps,
+                              ct=None):
         """Device-resident progressive pass (tpu/resident.py): profiles
         and gap state stay on device between levels; only per-level
         profile lengths cross to the host.  Returns None when the
@@ -528,7 +529,7 @@ class TpuEngine:
         sip: List[Optional[List[int]]] = [[i] for i in range(n)] + \
             [None] * (n - 1)
         nsip = [1] * n + [0] * (n - 1)
-        rp = ResidentPass(self, codes, ap, sd, eps)
+        rp = ResidentPass(self, codes, ap, sd, eps, ct=ct)
         return rp.run(order, task_index, levels, sip, nsip)
 
     def _progressive(self, codes, tasks, ap: P.AlnParam, sd, ct, cand_for):

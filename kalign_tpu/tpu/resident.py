@@ -74,7 +74,7 @@ def _bucket_step(live_counts, live_subrows, live_pen, tokens, tok_lens,
                  rows_is_leaf, cols_is_leaf, cif, swap_ab,
                  la, lb, soff, eff_pen, nsip_r, nsip_c,
                  sip_a, sip_b, base_pen, eps,
-                 L1p, L2p, S, use_pallas, bt, R):
+                 L1p, L2p, S, use_pallas, bt, R, bonus=None):
     """One level bucket, fully on device.
 
     Index arrays (all [B]): rows_slot/cols_slot into the live buffers
@@ -144,6 +144,25 @@ def _bucket_step(live_counts, live_subrows, live_pen, tokens, tok_lens,
         preferred_element_type=jnp.float32)          # [B, L1p, L2p]
     slope = lb.astype(jnp.float32) / jnp.maximum(la.astype(jnp.float32), 1.0)
 
+    if bonus is not None:
+        # consistency bonus: bias FIRST in the same float order as the
+        # non-resident paths (_fused_forward), then accumulate the
+        # densified bonus k-by-k; kernel bias is zeroed
+        per_w, apr, cfr, apc, cfc = bonus
+        ii = jnp.arange(1, L1p + 1, dtype=jnp.float32)[None, :, None]
+        jj = jnp.arange(1, L2p + 1, dtype=jnp.float32)[None, None, :]
+        dev = jnp.abs(jj - ii * slope[:, None, None])
+        match = match - dev * eps[:, None, None]
+        acc = jnp.zeros_like(match)
+        for k in range(apr.shape[1]):
+            eq = (apr[:, k, :, None] == apc[:, k, None, :]) & \
+                (apr[:, k, :, None] >= 0)
+            term = (per_w * cfr[:, k, :, None]) * cfc[:, k, None, :]
+            acc = acc + jnp.where(eq, term, 0.0)
+        match = match + acc
+        slope = jnp.zeros_like(slope)
+        eps = jnp.zeros_like(eps)
+
     if use_pallas:
         from kalign_tpu.tpu.gotoh_pallas import gotoh_forward_pallas
         dec, score, st = gotoh_forward_pallas(
@@ -151,10 +170,11 @@ def _bucket_step(live_counts, live_subrows, live_pen, tokens, tok_lens,
             slope=slope, bias_eps=eps)
     else:
         from kalign_tpu.tpu import gotoh
-        ii = jnp.arange(1, L1p + 1, dtype=jnp.float32)[None, :, None]
-        jj = jnp.arange(1, L2p + 1, dtype=jnp.float32)[None, None, :]
-        dev = jnp.abs(jj - ii * slope[:, None, None])
-        match = match - dev * eps[:, None, None]
+        if bonus is None:
+            ii = jnp.arange(1, L1p + 1, dtype=jnp.float32)[None, :, None]
+            jj = jnp.arange(1, L2p + 1, dtype=jnp.float32)[None, None, :]
+            dev = jnp.abs(jj - ii * slope[:, None, None])
+            match = match - dev * eps[:, None, None]
         dec, score, st = jax.vmap(
             lambda m, c, r, a, b: gotoh.gotoh_forward(
                 m, c[0], c[1], c[2], r[0], r[1], r[2], a, b)
@@ -234,6 +254,80 @@ def _bucket_step(live_counts, live_subrows, live_pen, tokens, tok_lens,
 
 
 # ---------------------------------------------------------------------------
+# consistency bonus arrays on device (anchor_consistency.c:352-467)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("n_nodes", "Lp", "K", "dedup"))
+def _node_positions_device(gaps_buf, posmap, seq_lens, mem_seq, mem_node,
+                           mem_ord, n_nodes, Lp, K, dedup):
+    """Consensus anchor positions + confidence for a batch of nodes,
+    computed from the RESIDENT gap state (the device analogue of
+    ConsistencyTable._node_positions_all).
+
+    posmap [n, K, Lt] int32 (-1 = unmapped); mem_* [M] flatten every
+    node's member list (mem_ord = position within the node's sip list —
+    first-wins voting follows that order).  Returns apos [n_nodes, K,
+    Lp] int32 and conf [n_nodes, K, Lp] f32.  dedup=True applies the
+    cols-side "last column per anchor position wins" rule."""
+    n, K_, Lt = posmap.shape
+    M, Lg = gaps_buf[mem_seq].shape
+    g = gaps_buf[mem_seq]                                   # [M, Lg]
+    # column of residue i: cumsum(g[0..i] + 1) - 1
+    rel = jnp.cumsum(g + 1, axis=1) - 1                     # [M, Lg]
+    ridx = jnp.arange(Lg, dtype=jnp.int32)[None, :]
+    valid_res = (ridx < seq_lens[mem_seq][:, None]) & (rel < Lp)
+    rows_m = jnp.broadcast_to(jnp.arange(M)[:, None], (M, Lg))
+    tgt = jnp.where(valid_res, rel, Lp)
+    col_res = jnp.full((M, Lp + 1), -1, jnp.int32)
+    col_res = col_res.at[rows_m, tgt].set(
+        jnp.where(valid_res, ridx, -1).astype(jnp.int32))
+    col_res = col_res[:, :Lp]                               # [M, Lp]
+
+    pm = posmap[mem_seq]                                    # [M, K, Lt]
+    cr = jnp.clip(col_res, 0, Lt - 1)
+    apos = jnp.take_along_axis(
+        pm, jnp.broadcast_to(cr[:, None, :], (M, K, Lp)), axis=2)
+    apos = jnp.where((col_res >= 0)[:, None, :], apos, -1)  # [M, K, Lp]
+    has = apos >= 0
+
+    BIGORD = jnp.int32(1 << 20)
+    P = Lt + 1
+    key2 = jnp.where(has, mem_ord[:, None, None] * P + apos,
+                     BIGORD * P)
+    seg_min = jax.ops.segment_min(key2, mem_node, num_segments=n_nodes)
+    best = jnp.where(seg_min < BIGORD * P, seg_min % P, -1)  # [N, K, Lp]
+    total = jax.ops.segment_sum(has.astype(jnp.int32), mem_node,
+                                num_segments=n_nodes)
+    agree_m = has & (apos == best[mem_node])
+    agree = jax.ops.segment_sum(agree_m.astype(jnp.int32), mem_node,
+                                num_segments=n_nodes)
+    ok = (total > 0) & (agree > 0) & (best >= 0)
+    pos = jnp.where(ok, best, -1).astype(jnp.int32)
+    conf = jnp.where(ok, agree.astype(jnp.float32)
+                     / jnp.maximum(total, 1).astype(jnp.float32), 0.0)
+
+    if dedup:
+        # last column mapping to each anchor position keeps its
+        # confidence (the reference's inverse-map winner,
+        # anchor_consistency.c:469-561): winner col = MAX column index
+        N = n_nodes
+        nidx = jnp.broadcast_to(jnp.arange(N)[:, None, None], (N, K, Lp))
+        kidx = jnp.broadcast_to(jnp.arange(K)[None, :, None], (N, K, Lp))
+        cidx = jnp.broadcast_to(
+            jnp.arange(Lp, dtype=jnp.int32)[None, None, :], (N, K, Lp))
+        okp = pos >= 0
+        ptgt = jnp.where(okp, jnp.clip(pos, 0, Lt - 1), Lt)
+        winner = jnp.full((N, K, Lt + 1), -1, jnp.int32)
+        winner = winner.at[nidx, kidx, ptgt].max(
+            jnp.where(okp, cidx, -1))
+        wcol = jnp.take_along_axis(winner, ptgt, axis=2)
+        keep = okp & (wcol == cidx)
+        pos = jnp.where(keep, pos, -1)
+        conf = jnp.where(keep, conf, 0.0)
+    return pos, conf
+
+
+# ---------------------------------------------------------------------------
 # gap weave (weave_alignment.c) applied on device for a level bucket
 # ---------------------------------------------------------------------------
 
@@ -303,14 +397,18 @@ class ResidentPass:
 
     Restrictions (callers fall back to the host-assembled path
     otherwise): single device, one bias candidate per merge
-    (REFINE_NONE), no consistency table."""
+    (REFINE_NONE).  Consistency tables are supported: per-merge bonus
+    arrays are voted on device from the resident gap state
+    (_node_positions_device)."""
 
-    def __init__(self, engine, codes, ap: P.AlnParam, sd, eps: float):
+    def __init__(self, engine, codes, ap: P.AlnParam, sd, eps: float,
+                 ct=None):
         self.engine = engine
         self.codes = codes
         self.ap = ap
         self.sd = sd
         self.eps = float(eps)
+        self.ct = ct
         self.n = len(codes)
         self.lens = [len(c) for c in codes]
 
@@ -332,6 +430,18 @@ class ResidentPass:
 
         Lg = max(lens) + 1
         gaps_buf = jnp.zeros((n, Lg), jnp.int32)
+
+        posmap = None
+        if self.ct is not None:
+            ct = self.ct
+            if n * (Lt + 1) >= 2 ** 31:   # ord-packing headroom
+                return None
+            pm = np.full((n, ct.K, Lt), -1, np.int32)
+            for i in range(n):
+                for k in range(ct.K):
+                    m = ct.pos_maps[i * ct.K + k]
+                    pm[i, k, :len(m)] = m
+            posmap = jnp.asarray(pm)
 
         # live profile store (merged nodes only; leaves built in-program)
         live = None          # (counts [M, Lc, 23], subrows, pen [M, Lc, 3])
@@ -462,6 +572,35 @@ class ResidentPass:
                 for lo in range(0, Bp, cap):
                     hi = min(lo + cap, Bp)
                     sl = slice(lo, hi)
+                    bonus = None
+                    if posmap is not None:
+                        citems = items[lo:hi]
+
+                        def members(side_node_sel):
+                            ms, mn, mo = [], [], []
+                            for kk, it in enumerate(citems):
+                                node = it[side_node_sel]
+                                for oo, si in enumerate(sip[node]):
+                                    ms.append(si)
+                                    mn.append(kk)
+                                    mo.append(oo)
+                            if not ms:   # all-pad chunk
+                                ms, mn, mo = [0], [0], [0]
+                            return (jnp.asarray(np.asarray(ms, np.int32)),
+                                    jnp.asarray(np.asarray(mn, np.int32)),
+                                    jnp.asarray(np.asarray(mo, np.int32)))
+
+                        Bc = hi - lo
+                        rs, rn_, ro = members(3)   # rows node
+                        cs, cn_, co = members(4)   # cols node
+                        apr, cfr = _node_positions_device(
+                            gaps_buf, posmap, tok_lens, rs, rn_, ro,
+                            n_nodes=Bc, Lp=L1p, K=self.ct.K, dedup=False)
+                        apc, cfc = _node_positions_device(
+                            gaps_buf, posmap, tok_lens, cs, cn_, co,
+                            n_nodes=Bc, Lp=L2p, K=self.ct.K, dedup=True)
+                        bonus = (jnp.float32(self.ct.per_weight),
+                                 apr, cfr, apc, cfc)
                     outs.append(_bucket_step(
                         live[0], live[1], live[2], tokens, tok_lens, subm,
                         jnp.asarray(rows_slot[sl]), jnp.asarray(cols_slot[sl]),
@@ -475,7 +614,7 @@ class ResidentPass:
                         jnp.asarray(sip_a_v[sl]), jnp.asarray(sip_b_v[sl]),
                         jnp.asarray(base_pen[sl]), jnp.asarray(eps_v[sl]),
                         L1p=L1p, L2p=L2p, S=S, use_pallas=use_pallas,
-                        bt=min(bt, hi - lo), R=R))
+                        bt=min(bt, hi - lo), R=R, bonus=bonus))
                 # keep per-chunk outputs (concatenating the merged
                 # profile arrays would double the transient HBM peak at
                 # 10^5-sequence scale)

@@ -130,3 +130,83 @@ def test_resident_quality_on_simulated_family(monkeypatch):
                                  "fast", "tpu-fast", 1)
         tcs[res] = r["tc"]
     assert tcs[True] >= tcs[False] - 1e-9
+
+
+@pytest.mark.parametrize("case", ["BB12006", "BB30014"])
+def test_resident_consistency_mode_matches(case, monkeypatch):
+    """DEFAULT mode (consistency_anchors=5): the resident pass votes
+    per-merge bonus arrays on device from the resident gap state and
+    must reproduce the host-assembled engine byte-for-byte."""
+    from kalign_tpu.core import io as kio
+    from kalign_tpu import engine as E
+    from conftest import DATA
+    monkeypatch.setenv("KALIGN_TPU_NO_AUTOROUTE", "1")
+    path = os.path.join(DATA, case + ".tfa")
+    outs = {}
+    for res in (False, True):
+        if res:
+            monkeypatch.delenv("KALIGN_TPU_NO_RESIDENT", raising=False)
+        else:
+            monkeypatch.setenv("KALIGN_TPU_NO_RESIDENT", "1")
+        m = kio.read_alignment(path)
+        m.quiet = True
+        outs[res] = kio.write_fasta(E.align_msa(m, engine="tpu-fast"))
+    assert outs[True] == outs[False]
+
+
+def test_node_positions_device_matches_host():
+    """Property test: _node_positions_device == ConsistencyTable's host
+    voting (incl. the cols-side last-wins dedup) on random gap states
+    and position maps."""
+    from kalign_tpu.tpu import resident as R
+    from kalign_tpu.tpu.consistency import ConsistencyTable
+
+    rng = np.random.default_rng(11)
+    for _ in range(25):
+        n = int(rng.integers(3, 8))
+        K = int(rng.integers(1, 4))
+        Lt = int(rng.integers(6, 12))
+        lens = rng.integers(3, Lt, n)
+        pos_maps = []
+        for i in range(n):
+            for k in range(K):
+                m = np.full(lens[i], -1, np.int64)
+                p = 0
+                for r in range(lens[i]):
+                    if rng.random() < 0.7 and p < Lt:
+                        m[r] = p
+                        p += int(rng.integers(1, 3))
+                pos_maps.append(m)
+        ct = ConsistencyTable(K=K, weight=2.0, anchor_ids=list(range(K)),
+                              pos_maps=pos_maps, numseq=n)
+        members = list(rng.permutation(n)[:rng.integers(1, n + 1)])
+        Lpn = int(max(lens[m] for m in members) + rng.integers(0, 4))
+        gaps_all = []
+        for i in range(n):
+            gaps_all.append([0] * (int(lens[i]) + 1))
+        for m in members:
+            extra = Lpn - lens[m]
+            g = np.zeros(lens[m] + 1, np.int64)
+            for _ in range(extra):
+                g[rng.integers(0, lens[m] + 1)] += 1
+            gaps_all[m] = g.tolist()
+        apos_h, conf_h = ct._node_positions_all(
+            0, Lpn, {0: members}, {0: 2}, gaps_all, lens)
+        Lg = int(lens.max()) + 5
+        gbuf = np.zeros((n, Lg), np.int32)
+        for i in range(n):
+            gbuf[i, :len(gaps_all[i])] = gaps_all[i]
+        pmap = np.full((n, K, Lt), -1, np.int32)
+        for i in range(n):
+            for k in range(K):
+                pmap[i, k, :lens[i]] = pos_maps[i * K + k]
+        pos_d, conf_d = R._node_positions_device(
+            jnp.asarray(gbuf), jnp.asarray(pmap),
+            jnp.asarray(lens.astype(np.int32)),
+            jnp.asarray(np.asarray(members, np.int32)),
+            jnp.asarray(np.zeros(len(members), np.int32)),
+            jnp.asarray(np.arange(len(members), dtype=np.int32)),
+            n_nodes=1, Lp=Lpn, K=K, dedup=False)
+        assert np.array_equal(apos_h.astype(np.int64),
+                              np.asarray(pos_d)[0].astype(np.int64))
+        assert np.allclose(conf_h, np.asarray(conf_d)[0])
