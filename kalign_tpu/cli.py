@@ -90,12 +90,37 @@ def build_parser():
                    help="capture a jax.profiler device trace of the "
                         "alignment into DIR (open with TensorBoard / "
                         "xprof)")
+    p.add_argument("--server", default=None, metavar="SOCKET",
+                   help="send this invocation to a running warm "
+                        "alignment server (python -m kalign_tpu.serve) "
+                        "instead of paying per-process compile/load "
+                        "costs")
     p.add_argument("files", nargs="*")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.server is not None:
+        from kalign_tpu.serve import request
+        fwd = list(sys.argv[1:]) if argv is None else list(argv)
+        # strip the --server flag before forwarding
+        out = []
+        skip = False
+        for tok in fwd:
+            if skip:
+                skip = False
+                continue
+            if tok == "--server":
+                skip = True
+                continue
+            if tok.startswith("--server="):
+                continue
+            out.append(tok)
+        resp = request(args.server, out)
+        if resp.get("error"):
+            print(resp["error"], file=sys.stderr)
+        return int(resp.get("rc", 1))
     if args.version:
         print(f"kalign-tpu {__version__} (kalign {KALIGN_COMPAT_VERSION} compatible)")
         return 0

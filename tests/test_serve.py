@@ -1,0 +1,89 @@
+"""Tests for the persistent warm alignment server (kalign_tpu/serve.py):
+a real unix-socket server process handles CLI invocations in-process
+and produces byte-identical output to the one-shot CLI."""
+
+import os
+import subprocess
+import sys
+import time
+
+from conftest import DATA
+
+_SERVER = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import sys
+from kalign_tpu.serve import serve
+serve(sys.argv[1], warmup=False)
+"""
+
+
+def _wait_socket(path, timeout=60):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if os.path.exists(path):
+            return True
+        time.sleep(0.1)
+    return False
+
+
+def test_server_roundtrip_matches_cli(tmp_path):
+    sock = str(tmp_path / "kalign.sock")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _SERVER, sock], env=env,
+        cwd=os.path.dirname(DATA) + "/..",
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    try:
+        assert _wait_socket(sock), "server socket never appeared"
+        inp = os.path.join(DATA, "BB11001.tfa")
+        out_srv = str(tmp_path / "srv.afa")
+        out_cli = str(tmp_path / "cli.afa")
+
+        from kalign_tpu.serve import request, shutdown
+        resp = request(sock, ["-i", inp, "-o", out_srv, "-q"])
+        assert resp["rc"] == 0 and not resp["error"], resp
+
+        from kalign_tpu import cli
+        assert cli.main(["-i", inp, "-o", out_cli, "-q"]) == 0
+        assert open(out_srv).read() == open(out_cli).read()
+
+        # second request reuses the warm process
+        out2 = str(tmp_path / "srv2.afa")
+        resp = request(sock, ["-i", inp, "-o", out2, "-q"])
+        assert resp["rc"] == 0
+        assert open(out2).read() == open(out_cli).read()
+
+        # CLI --server front-end
+        out3 = str(tmp_path / "srv3.afa")
+        assert cli.main(["--server", sock, "-i", inp, "-o", out3,
+                         "-q"]) == 0
+        assert open(out3).read() == open(out_cli).read()
+
+        shutdown(sock)
+        proc.wait(timeout=30)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+
+def test_server_reports_errors(tmp_path):
+    sock = str(tmp_path / "kalign.sock")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _SERVER, sock], env=env,
+        cwd=os.path.dirname(DATA) + "/..",
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    try:
+        assert _wait_socket(sock)
+        from kalign_tpu.serve import request, shutdown
+        resp = request(sock, ["-i", "/nonexistent/xx.fa", "-o",
+                              str(tmp_path / "y.afa"), "-q"])
+        assert resp["rc"] != 0 or resp["error"]
+        shutdown(sock)
+        proc.wait(timeout=30)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
