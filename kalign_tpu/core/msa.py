@@ -212,19 +212,24 @@ class Msa:
 
     # ------------------------------------------------------------------
     def finalise(self):
-        """Expand gap lists to '-' strings (``msa_op.c:546-573``)."""
+        """Expand gap lists to '-' strings (``msa_op.c:546-573``).
+
+        Vectorized: residue j lands at column cumsum(gaps[..j]+1)-1 of
+        a '-'-filled row (same output as the per-character loop; the
+        loop cost ~seconds at 10^4+ sequences)."""
         assert self.aligned == ALN_STATUS_ALIGNED, "Sequences are not aligned"
+        import numpy as _np
         s0 = self.sequences[0]
         aln_len = sum(s0.gaps) + s0.len
         for sq in self.sequences:
-            parts = []
-            for j in range(sq.len):
-                if sq.gaps[j]:
-                    parts.append("-" * sq.gaps[j])
-                parts.append(sq.seq[j])
-            if sq.gaps[sq.len]:
-                parts.append("-" * sq.gaps[sq.len])
-            sq.seq = "".join(parts)
+            g = _np.asarray(sq.gaps, dtype=_np.int64)
+            total = int(g.sum()) + sq.len
+            row = _np.full(total, ord("-"), _np.uint8)
+            if sq.len:
+                res_cols = _np.cumsum(g[:-1] + 1) - 1
+                row[res_cols] = _np.frombuffer(
+                    sq.seq.encode("latin-1"), _np.uint8)[:sq.len]
+            sq.seq = row.tobytes().decode("latin-1")
         self.alnlen = aln_len
         self.aligned = ALN_STATUS_FINAL
 

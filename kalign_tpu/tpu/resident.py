@@ -646,9 +646,16 @@ class ResidentPass:
                         jnp.asarray(np.asarray(mem_row, np.int32)),
                         jnp.asarray(np.asarray(mem_len, np.int32)))
 
-            # ---- the ONLY per-level fetch: new profile lengths ----
-            fetched = jax.device_get(
-                [out[1] for _, _, outs in dispatched for out in outs])
+            # ---- the ONLY per-level fetch: new profile lengths,
+            # packed into ONE device array so the tunnel pays ONE
+            # round trip per level, not one per chunk ----
+            ns_parts = [out[1] for _, _, outs in dispatched for out in outs]
+            sizes = [p.shape[0] for p in ns_parts]
+            packed = np.asarray(jax.device_get(jnp.concatenate(ns_parts)))
+            fetched, off = [], 0
+            for sz in sizes:
+                fetched.append(packed[off:off + sz])
+                off += sz
             fetch_it = iter(fetched)
 
             # ---- host bookkeeping + consolidation scatter ----
@@ -693,12 +700,20 @@ class ResidentPass:
                 lp = _scatter_live(lp, pnew[:Breal], dstj, W)
                 live = (lc, ls, lp)
 
-        # ---- final transfers: gap state + stashed scores (one fetch) --
-        fetched = jax.device_get([gaps_buf] + [s[1] for s in score_stash])
-        gaps_h = np.asarray(fetched[0])
+        # ---- final transfers: gap state + stashed scores, packed so
+        # the tunnel pays two round trips total ----
+        score_parts = [s[1] for s in score_stash]
+        sizes = [p.shape[0] for p in score_parts]
+        packed_scores = jnp.concatenate(score_parts) if score_parts \
+            else jnp.zeros((0,), jnp.float32)
+        gaps_h, scores_h = jax.device_get((gaps_buf, packed_scores))
+        gaps_h = np.asarray(gaps_h)
+        scores_h = np.asarray(scores_h)
         gaps = [gaps_h[i, :lens[i] + 1].tolist() for i in range(n)]
-        for (task_ids, _, Breal), sc in zip(score_stash, fetched[1:]):
-            sc = np.asarray(sc)
+        off = 0
+        for (task_ids, _, Breal), sz in zip(score_stash, sizes):
+            sc = scores_h[off:off + sz]
+            off += sz
             for j, tid in enumerate(task_ids):
                 conf[tid] = sc[j]
         return gaps, conf
