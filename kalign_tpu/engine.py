@@ -235,10 +235,15 @@ def _encoded(msa: Msa, kind: int):
 def _build_guide_tree(msa: Msa, eng, noise_rng=None, noise_sigma: float = 0.0):
     """Anchors + distance matrix + bisecting-kmeans tree.  Optional
     multiplicative gaussian noise for ensemble tree perturbation
-    (bisectingKmeans.c:104-116)."""
+    (bisectingKmeans.c:104-116).
+
+    KALIGN_TPU_TIMING_DETAIL=1 logs the distance / tree sub-phases."""
+    import os as _os
+    no_detail = not _os.environ.get("KALIGN_TPU_TIMING_DETAIL")
     anchors = pick_anchors(msa)
     codes = [sq.s for sq in msa.sequences]
-    dm = eng.anchor_distances(codes, anchors)
+    with timer("  anchor distances", no_detail or msa.quiet):
+        dm = eng.anchor_distances(codes, anchors)
     if noise_rng is not None and noise_sigma > 0.0:
         n_anchors = len(anchors)
         for i in range(msa.numseq):
@@ -247,7 +252,8 @@ def _build_guide_tree(msa: Msa, eng, noise_rng=None, noise_sigma: float = 0.0):
                 if noise < 0.1:
                     noise = 0.1
                 dm[i, j] = np.float32(dm[i, j] * np.float32(noise))
-    tasks, seq_dist = eng.build_tree(codes, dm, len(anchors))
+    with timer("  guide tree", no_detail or msa.quiet):
+        tasks, seq_dist = eng.build_tree(codes, dm, len(anchors))
     return tasks, seq_dist
 
 

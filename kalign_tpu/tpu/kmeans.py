@@ -133,6 +133,10 @@ class _Node:
 def build_tree_device(engine, codes, dm: np.ndarray, n_anchors: int):
     """Drop-in for HostEngine.build_tree with the k-means splits batched
     on device per recursion depth.  Returns (tasks [n-1, 3], seq_dist)."""
+    import os
+    import time as _time
+    detail = bool(os.environ.get("KALIGN_TPU_TIMING_DETAIL"))
+    t0 = _time.time()
     n = len(codes)
     stride = dm.shape[1]
     emb = np.ascontiguousarray(dm[:, :n_anchors].astype(np.float32))
@@ -200,6 +204,10 @@ def build_tree_device(engine, codes, dm: np.ndarray, n_anchors: int):
             work.append((node.left, left_s))
             work.append((node.right, right_s))
 
+    t1 = _time.time()
+    if detail:
+        from kalign_tpu.utils.logging import log
+        log(f"    kmeans splits (device) {t1 - t0:.2f} s")
     # exact native UPGMA below the threshold (pairwise BPM distances)
     for node, s in upgma_jobs:
         if len(s) == 1:
@@ -222,6 +230,10 @@ def build_tree_device(engine, codes, dm: np.ndarray, n_anchors: int):
         node.left = sub_root.left
         node.right = sub_root.right
 
+    if detail:
+        from kalign_tpu.utils.logging import log
+        log(f"    upgma leaves ({len(upgma_jobs)} jobs) "
+            f"{_time.time() - t1:.2f} s")
     # label internals postorder + emit tasks preorder (kt_tree.cpp
     # label_postorder / emit_tasks_preorder)
     label = [n]
