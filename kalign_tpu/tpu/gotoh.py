@@ -126,16 +126,22 @@ def gotoh_forward(match, goB, geB, tgeB, goA, geA, tgeA, la, lb,
         ge_row = jnp.where(is_last_row, tgeB, geB_in)
         go_row = jnp.where(is_last_row, tgeB, goB_in)
         C = jnp.cumsum(jnp.where(cols == 0, 0.0, ge_row))
-        # u[k] = A_row[k] + go[k+1] - C[k+1] for k = 0..L2p-1
-        u = A_row[:-1] + go_row[1:] - C[1:]
+        # u[k] = A_row[k] + (go[k+1] - C[k+1]) for k = 0..L2p-1; the
+        # (go - C) pairing matches the Pallas kernel's precomputed gnC
+        # slots so both engines round u identically
+        u = A_row[:-1] + (go_row[1:] - C[1:])
         cmax = jax.lax.cummax(u)
         GA_row = jnp.concatenate([jnp.array([NEG]), cmax + C[1:]])
         GA_row = jnp.where(col_valid, GA_row, NEG)
-        # decision: extend iff GA[j-1] + ge[j] > A[j-1] + go[j]
-        ext_val = GA_row[:-1] + ge_row[1:]
-        open_val = A_row[:-1] + go_row[1:]
+        # decision: extend iff GA[j-1] + ge[j] > A[j-1] + go[j].  Both
+        # sides share the +C[j] term (C[j] = C[j-1] + ge[j]), so the
+        # candidate compare reduces to cm[j-2] > u[j-1]; and since
+        # cm[j-1] = max(cm[j-2], u[j-1]) that is exactly
+        # cm[j-1] > u[j-1] — one elementwise compare on values the
+        # scan already produced, with the reference's open-on-tie
+        # preference preserved (ties make the compare false)
         dec_ga = jnp.concatenate(
-            [jnp.zeros(1, jnp.int8), (ext_val > open_val).astype(jnp.int8)])
+            [jnp.zeros(1, jnp.int8), (cmax > u).astype(jnp.int8)])
 
         dec_row = (jnp.concatenate([jnp.zeros(1, jnp.int8),
                                     dec_a.astype(jnp.int8)])

@@ -57,7 +57,7 @@ def _vmem_bytes(bt: int, W: int, R: int) -> int:
     128 (the dominant hidden cost for big tiles)."""
     f = 4
     return (3 * bt * W * f          # state scratch
-            + 10 * bt * W * f       # colpen (resident)
+            + 5 * bt * W * f        # colpen (resident)
             + bt * W * f            # ga0 (resident)
             + 2 * R * bt * W * f    # match in, double-buffered
             + 2 * R * bt * W        # dec out (int8), double-buffered
@@ -112,10 +112,11 @@ def _cummax_axis1(x, n):
 def _kernel(lab_ref, bias_ref, match_ref, rowpen_ref, colpen_ref, ga0_ref,
             dec_ref, score_ref, state_ref,
             S_ref, *, L2p, L1p, R, with_dec, with_bias=True):
-    """colpen_ref packs row-invariant column-side vectors [10, BT, L2p]
-    for DP columns 1..L2p: 0 goB, 1 geB, 2 tgeB, 3 C_norm, 4 C_term,
-    5 goB_next, 6 tgeB_next, 7 goB_shifted (goB[j-1], 0 at col 1),
-    8 C_norm_next, 9 C_term_next.  rowpen_ref streams per-row
+    """colpen_ref packs row-invariant column-side vectors [5, BT, L2p]
+    for DP columns 1..L2p: 0 C_norm, 1 C_term,
+    2 gnC_norm (= goB[j+1] - C_norm[j+1]), 3 gnC_term
+    (= tgeB[j+1] - C_term[j+1]), 4 goB_shifted (goB[j-1], 0 at col 1).
+    rowpen_ref streams per-row
     scalars [R, BT, 8]: goA_i, geA_i, tgeA_i, goA_prev, gb0_prev.
 
     Each grid step advances R DP rows (unrolled): the state rows live in
@@ -137,16 +138,11 @@ def _kernel(lab_ref, bias_ref, match_ref, rowpen_ref, colpen_ref, ga0_ref,
         slope_eps = slope * bias_eps
         cols_eps = cols.astype(jnp.float32) * bias_eps
 
-    goB = colpen_ref[0]
-    geB = colpen_ref[1]
-    tgeB = colpen_ref[2]
-    C_norm = colpen_ref[3]
-    C_term = colpen_ref[4]
-    goB_next = colpen_ref[5]
-    tgeB_next = colpen_ref[6]
-    goB_s = colpen_ref[7]
-    C_norm_next = colpen_ref[8]
-    C_term_next = colpen_ref[9]
+    C_norm = colpen_ref[0]
+    C_term = colpen_ref[1]
+    gnC_norm = colpen_ref[2]
+    gnC_term = colpen_ref[3]
+    goB_s = colpen_ref[4]
 
     @pl.when(i == 0)
     def _init():
@@ -212,18 +208,21 @@ def _kernel(lab_ref, bias_ref, match_ref, rowpen_ref, colpen_ref, ga0_ref,
         gb_o = A_prev + go_eff
         GB_row = jnp.maximum(gb_e, gb_o)
 
-        # --- GA row (in-row scan); row-invariant prefix sums / shifted
-        # vectors are precomputed, terminal-row variant masked in ---
+        # --- GA row (in-row scan); row-invariant prefix sums / fused
+        # (go - C) vectors are precomputed, terminal-row variant
+        # masked in ---
         C = jnp.where(is_last_row, C_term, C_norm)
-        go_next = jnp.where(is_last_row, tgeB_next, goB_next)
-        C_next = jnp.where(is_last_row, C_term_next, C_norm_next)
-        u = A_row + go_next - C_next
+        gnC = jnp.where(is_last_row, gnC_term, gnC_norm)
+        u = A_row + gnC
         u = jnp.where(cols < lb, u, NEG)  # only k < lb can open
         cm = _cummax_axis1(u, W)
-        # one stacked roll serves both the scan shift and (with_dec)
-        # the gap-open candidate shift
-        rolled2 = pltpu.roll(jnp.stack([cm, A_row], axis=0), 1, axis=2)
-        cm_s = jnp.where(idx0, NEG, rolled2[0])
+        if with_dec:
+            # one stacked roll serves both the scan shift and the
+            # gap-extend decision's u[j-1] view
+            rolled2 = pltpu.roll(jnp.stack([cm, u], axis=0), 1, axis=2)
+            cm_s = jnp.where(idx0, NEG, rolled2[0])
+        else:
+            cm_s = jnp.where(idx0, NEG, pltpu.roll(cm, 1, axis=1))
         GA_row = cm_s + C
 
         if with_dec:
@@ -231,18 +230,15 @@ def _kernel(lab_ref, bias_ref, match_ref, rowpen_ref, colpen_ref, ga0_ref,
             dec_a = jnp.where(diagGA >= diagA, 1, 0)
             dec_a = jnp.where(diagGB >= best01, 2, dec_a)
             dec_gb = (gb_e > gb_o).astype(jnp.int32)
-            # GA extend-vs-open must compare the two CANDIDATES, not
-            # the realised GA_row vs the open candidate: GA_row goes
-            # through the scan transform (+C then -C association) and
-            # can drift an ulp from max(ext, open), which flips
-            # decisions the XLA oracle (tpu/gotoh.py:135-138) and the
-            # traceback treat as canonical.
-            ge_row = jnp.where(is_last_row, tgeB, geB)
-            go_row = jnp.where(is_last_row, tgeB, goB)
-            ga_ext = jnp.where(idx0, NEG,
-                               pltpu.roll(GA_row, 1, axis=1)) + ge_row
-            ga_open = jnp.where(idx0, NEG, rolled2[1]) + go_row
-            dec_ga = jnp.where(ga_ext > ga_open, 1, 0)
+            # GA extend-vs-open: the candidates GA[j-1]+ge[j] and
+            # A[j-1]+go[j] share the +C[j] term under the scan
+            # transform, so the compare reduces to cm[j-2] > u[j-1] =
+            # cm[j-1] > u[j-1] (cm[j-1] = max(cm[j-2], u[j-1]));
+            # open-on-tie preserved.  The XLA oracle
+            # (tpu/gotoh.py:137-146) computes the identical compare so
+            # decisions agree bitwise.
+            u_s = jnp.where(idx0, NEG, rolled2[1])
+            dec_ga = jnp.where(cm_s > u_s, 1, 0)
             dec = dec_a | (dec_ga << 2) | (dec_gb << 3)
             dec_ref[r] = dec.astype(jnp.int8)
 
@@ -321,13 +317,18 @@ def gotoh_forward_pallas(match, pens_cols, pens_rows, la, lb, bt=8,
     goB_s = jnp.concatenate([pad1, goB[:, :W - 1]], axis=1)  # goB[j-1]
     C_norm_next = jnp.concatenate([C_norm[:, 1:], pad1], axis=1)
     C_term_next = jnp.concatenate([C_term[:, 1:], pad1], axis=1)
+    # the scan-transform open candidate u = A + (go[j+1] - C[j+1]) only
+    # ever reads go_next and C_next through this difference — fuse it
+    # here (one op and two colpen slots fewer per kernel row; the XLA
+    # oracle pairs (go - C) the same way so u rounds identically)
+    gnC_norm = goB_next - C_norm_next
+    gnC_term = tgeB_next - C_term_next
 
-    # slot-major [10, B, W]: stacking along axis 0 writes each slot
-    # contiguously (a [B, 10, W] stack interleaves and costs a strided
+    # slot-major [5, B, W]: stacking along axis 0 writes each slot
+    # contiguously (a [B, 5, W] stack interleaves and costs a strided
     # pass over the whole array)
-    colpen = jnp.stack([goB, geB, tgeB, C_norm, C_term, goB_next, tgeB_next,
-                        goB_s, C_norm_next, C_term_next],
-                       axis=0)  # [10, B, W]
+    colpen = jnp.stack([C_norm, C_term, gnC_norm, gnC_term, goB_s],
+                       axis=0)  # [5, B, W]
 
     # per-row scalar stream [B, L1p, 8]:
     # goA_i, geA_i, tgeA_i, goA_prev, gb0_prev (= GB[row-1, 0])
@@ -359,7 +360,7 @@ def gotoh_forward_pallas(match, pens_cols, pens_rows, la, lb, bt=8,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R, bt, 8), lambda b, i: (i, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((10, bt, W), lambda b, i: (0, b, 0),
+            pl.BlockSpec((5, bt, W), lambda b, i: (0, b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, W), lambda b, i: (b, 0),
                          memory_space=pltpu.VMEM),
