@@ -80,16 +80,44 @@ def pad_rows(a: np.ndarray, to: int, fill=0) -> np.ndarray:
 # sharded distance matrix
 # ---------------------------------------------------------------------------
 
-def pallas_anchor_distances(tokens: np.ndarray, lengths: np.ndarray,
-                            anchors: Sequence[int], bt: int = 2048,
-                            chunk: int = 8192) -> np.ndarray:
-    """Single-device fast path: all N*K (sequence, anchor) pairs flow
-    through the Pallas bit-parallel kernel (tpu/bpm_pallas.py) in
-    chunks, with the longer-side-is-text orientation resolved HOST-side
-    per pair (sequence_distance.c:153-162) so each pair runs one sweep.
-    Returns raw integer distances [N, K] (no length bias)."""
+@partial(jax.jit, static_argnames=("max_steps", "bt", "pat_w", "sub"))
+def _dist_chunk(tok, tsrc, psrc, tlen, plen, max_steps, bt, pat_w, sub):
+    """One device program for a block of (text, pattern) index pairs:
+    gathers rows from the resident token table, builds Peq, and runs the
+    Pallas Myers kernel over `sub`-sized sub-chunks via lax.map (bounds
+    the [sub, SIGMA, MAX_PATTERN] Peq transient while keeping the whole
+    block a single dispatch — tunneled devices pay per-launch latency,
+    and hundreds of queued small launches can wedge the transport)."""
     from kalign_tpu.tpu.bpm_pallas import bpm_batch_pallas
 
+    S = tsrc.shape[0] // sub
+
+    def one(args):
+        ts, ps, nn, mm = args
+        texts = jnp.take(tok, ts, axis=0)
+        pats = jnp.zeros((sub, bpm.MAX_PATTERN), jnp.uint8)
+        pats = pats.at[:, :pat_w].set(jnp.take(tok, ps, axis=0)[:, :pat_w])
+        peq = bpm.build_peq(pats, mm)
+        return bpm_batch_pallas(texts, nn, peq, mm, max_steps, bt=bt)
+
+    return jax.lax.map(one, (tsrc.reshape(S, sub), psrc.reshape(S, sub),
+                             tlen.reshape(S, sub),
+                             plen.reshape(S, sub))).reshape(-1)
+
+
+def pallas_anchor_distances(tokens: np.ndarray, lengths: np.ndarray,
+                            anchors: Sequence[int], bt: int = 2048,
+                            chunk: int = 524288) -> np.ndarray:
+    """Single-device fast path: all N*K (sequence, anchor) pairs flow
+    through the Pallas bit-parallel kernel (tpu/bpm_pallas.py), with the
+    longer-side-is-text orientation resolved HOST-side per pair
+    (sequence_distance.c:153-162) so each pair runs one sweep.
+
+    The token table uploads ONCE; each dispatch ships only int32 index
+    vectors and gathers rows on device (at 10^5 sequences the old
+    host-side pair expansion moved ~0.5 GB through the tunnel in ~400
+    launches and wedged the transport).  Returns raw integer distances
+    [N, K] (no length bias)."""
     N, Lmax = tokens.shape
     K = len(anchors)
     anchors = np.asarray(anchors, np.int32)
@@ -110,26 +138,27 @@ def pallas_anchor_distances(tokens: np.ndarray, lengths: np.ndarray,
 
     pat_w = min(bpm.MAX_PATTERN, Lmax)
     max_steps = int(Lmax + bpm.WORD)
-    # dispatch every chunk asynchronously and fetch ONCE: on tunneled /
-    # remote devices each device->host round trip costs far more than
-    # the kernels themselves (measured seconds per fetch on the dev
-    # tunnel), and chunks are independent
+    sub = min(8192, chunk)
+    tok_dev = jax.device_put(tokens)
+
+    total = N * K
     parts = []
-    for lo in range(0, N * K, chunk):
-        hi = min(lo + chunk, N * K)
+    for lo in range(0, total, chunk):
+        hi = min(lo + chunk, total)
         Bc = hi - lo
-        Bp = ((Bc + bt - 1) // bt) * bt
-        texts = np.zeros((Bp, Lmax), np.uint8)
-        texts[:Bc] = tokens[text_src[lo:hi]]
-        pats = np.zeros((Bp, bpm.MAX_PATTERN), np.uint8)
-        pats[:Bc, :pat_w] = tokens[pat_src[lo:hi], :pat_w]
-        n = np.full(Bp, 1, np.int32)
-        n[:Bc] = tlen[lo:hi]
-        m = np.full(Bp, 1, np.int32)
-        m[:Bc] = plen[lo:hi]
-        peq = bpm.build_peq(jnp.asarray(pats), jnp.asarray(m))
-        d = bpm_batch_pallas(jnp.asarray(texts), jnp.asarray(n), peq,
-                             jnp.asarray(m), max_steps, bt=bt)
+        Bp = ((Bc + sub - 1) // sub) * sub
+        pad = Bp - Bc
+        ts = np.concatenate([text_src[lo:hi],
+                             np.zeros(pad, np.int32)]).astype(np.int32)
+        ps = np.concatenate([pat_src[lo:hi],
+                             np.zeros(pad, np.int32)]).astype(np.int32)
+        nn = np.concatenate([tlen[lo:hi],
+                             np.ones(pad, np.int32)]).astype(np.int32)
+        mm = np.concatenate([plen[lo:hi],
+                             np.ones(pad, np.int32)]).astype(np.int32)
+        d = _dist_chunk(tok_dev, jnp.asarray(ts), jnp.asarray(ps),
+                        jnp.asarray(nn), jnp.asarray(mm),
+                        max_steps, bt, pat_w, sub)
         parts.append(d[:Bc])
     out = np.asarray(jnp.concatenate(parts)) if len(parts) > 1 \
         else np.asarray(parts[0])
