@@ -40,25 +40,26 @@ EPS = 1e-6
 MAX_TRIES = 40
 
 
-def _pow2(n, lo=8):
-    p = lo
-    while p < n:
-        p *= 2
-    return p
 
 
 @functools.partial(jax.jit, static_argnames=("T",))
-def _lloyd_batch(rows, valid, parity, seeds, n_tries, T):
-    """All tries of all clusters at one depth, in lockstep.
+def _lloyd_batch(emb, idx, valid, parity, seeds, n_tries, T):
+    """All tries of a group of clusters, in lockstep.
 
-    rows   [C, S, D] f32   anchor-distance rows (invalid rows zeroed)
+    emb    [N, D]    f32   resident anchor-distance embedding (uploaded
+                           once per tree build; groups ship only indices)
+    idx    [C, S]    i32   sample ids per cluster slot
     valid  [C, S]    bool  sample-slot mask
     parity [C, S]    i32   sample position & 1 (tie alternation)
     seeds  [C, T]    i32   per-try seed slot index
     n_tries [C]      i32   active tries per cluster (ns < 40 -> fewer)
 
-    Returns assign [C, T, S] int8 (1 = right side), score [C, T] f32,
-    degenerate [C, T] bool."""
+    Returns, selected on device for the earliest best try (np.argmin
+    semantics — ties keep the first, like the reference's strict-best
+    update): assign [C, S] int8 (1 = right side), degenerate [C] bool."""
+    safe = jnp.clip(idx, 0, emb.shape[0] - 1)
+    rows = jnp.where(valid[:, :, None],
+                     jnp.take(emb, safe, axis=0), 0.0)
     C, S, D = rows.shape
     nsf = jnp.sum(valid, axis=1).astype(jnp.float32)[:, None]      # [C,1]
     mean = jnp.sum(rows, axis=1) / jnp.maximum(nsf, 1.0)           # [C,D]
@@ -118,7 +119,14 @@ def _lloyd_batch(rows, valid, parity, seeds, n_tries, T):
     state = jax.lax.while_loop(cond, body, state)
     _, _, assign, score, degenerate, _, _ = state
     score = jnp.where(try_active0, score, jnp.float32(3.4e38))
-    return assign, score, degenerate
+    # earliest best try selected on device: fetching only its
+    # assignment row cuts the per-group device->host traffic T-fold
+    t_best = jnp.argmin(score, axis=1)                             # [C]
+    best_assign = jnp.take_along_axis(
+        assign, t_best[:, None, None], axis=1)[:, 0]               # [C,S]
+    best_deg = jnp.take_along_axis(
+        degenerate, t_best[:, None], axis=1)[:, 0]                 # [C]
+    return best_assign, best_deg
 
 
 class _Node:
@@ -145,8 +153,21 @@ def build_tree_device(engine, codes, dm: np.ndarray, n_anchors: int):
 
     emb_dev = jnp.asarray(emb)
 
-    # depth-synchronous recursion: all >=threshold clusters at a depth
-    # split in ONE device call
+    # Fixed launch shapes: clusters group into size buckets and each
+    # bucket compiles exactly ONE (C_tile, S_bucket) program reused
+    # across every depth and every run.  The per-depth variable-shape
+    # launches this replaces compiled a fresh program per recursion
+    # depth (~11 uniques at 10^5 sequences; minutes each in bad
+    # first-execution bands on tunneled devices).  Padding waste runs
+    # on the MXU and is bounded by C_tile*S <= 2^18 slots per launch.
+    T = MAX_TRIES
+    s_buckets = [256, 2048, 16384, 131072]
+    while s_buckets[-1] < n:
+        s_buckets.append(s_buckets[-1] * 8)
+    ctile = lambda S: max(1, (1 << 18) // S)
+
+    # depth-synchronous recursion: every >=threshold cluster at a depth
+    # dispatches (async, grouped by bucket) before any result is read
     root = _Node()
     work = [(root, np.arange(n, dtype=np.int64))]   # (node, samples)
     upgma_jobs = []                                  # (node, samples)
@@ -157,52 +178,50 @@ def build_tree_device(engine, codes, dm: np.ndarray, n_anchors: int):
         work = []
         if not big:
             break
-        C = len(big)
-        Smax = _pow2(max(len(s) for _, s in big), lo=64)
-        T = MAX_TRIES
-        rows = np.zeros((C, Smax, D), np.float32)
-        valid = np.zeros((C, Smax), bool)
-        parity = np.zeros((C, Smax), np.int32)
-        seeds = np.zeros((C, T), np.int32)
-        n_tries = np.zeros(C, np.int32)
-        for c, (node, s) in enumerate(big):
-            ns = len(s)
-            rows[c, :ns] = emb[s]
-            valid[c, :ns] = True
-            parity[c, :ns] = np.arange(ns) & 1
-            tries = min(T, ns)
-            step = ns // tries
-            seeds[c, :tries] = np.arange(tries) * step
-            n_tries[c] = tries
-        Cp = _pow2(C, lo=1)
-        if Cp != C:
-            pad = Cp - C
-            rows = np.concatenate([rows, np.zeros((pad, Smax, D), np.float32)])
-            valid = np.concatenate([valid, np.zeros((pad, Smax), bool)])
-            parity = np.concatenate([parity, np.zeros((pad, Smax), np.int32)])
-            seeds = np.concatenate([seeds, np.zeros((pad, T), np.int32)])
-            n_tries = np.concatenate([n_tries, np.ones(pad, np.int32)])
-        assign, score, degenerate = _lloyd_batch(
-            jnp.asarray(rows), jnp.asarray(valid), jnp.asarray(parity),
-            jnp.asarray(seeds), jnp.asarray(n_tries), T=T)
-        assign = np.asarray(assign)
-        score = np.asarray(score)
-        degenerate = np.asarray(degenerate)
-        for c, (node, s) in enumerate(big):
-            ns = len(s)
-            # first best try (reference keeps the earliest strict best)
-            t_best = int(np.argmin(score[c]))
-            if degenerate[c, t_best]:
-                left_s = s[:ns // 2]
-                right_s = s[ns // 2:]
-            else:
-                right_mask = assign[c, t_best, :ns] == 1
-                left_s = s[~right_mask]
-                right_s = s[right_mask]
-            node.left = _Node()
-            node.right = _Node()
-            work.append((node.left, left_s))
-            work.append((node.right, right_s))
+        groups = {}
+        for node, s in big:
+            S = next(b for b in s_buckets if len(s) <= b)
+            groups.setdefault(S, []).append((node, s))
+        pending = []
+        for S, items in sorted(groups.items(), reverse=True):
+            CT = ctile(S)
+            for g0 in range(0, len(items), CT):
+                grp = items[g0:g0 + CT]
+                idx = np.zeros((CT, S), np.int32)
+                valid = np.zeros((CT, S), bool)
+                parity = np.zeros((CT, S), np.int32)
+                seeds = np.zeros((CT, T), np.int32)
+                n_tries = np.ones(CT, np.int32)
+                for c, (node, s) in enumerate(grp):
+                    ns = len(s)
+                    idx[c, :ns] = s
+                    valid[c, :ns] = True
+                    parity[c, :ns] = np.arange(ns) & 1
+                    tries = min(T, ns)
+                    step = ns // tries
+                    seeds[c, :tries] = np.arange(tries) * step
+                    n_tries[c] = tries
+                out = _lloyd_batch(
+                    emb_dev, jnp.asarray(idx), jnp.asarray(valid),
+                    jnp.asarray(parity), jnp.asarray(seeds),
+                    jnp.asarray(n_tries), T=T)
+                pending.append((grp, out))
+        for grp, (assign_d, degenerate_d) in pending:
+            assign = np.asarray(assign_d)
+            degenerate = np.asarray(degenerate_d)
+            for c, (node, s) in enumerate(grp):
+                ns = len(s)
+                if degenerate[c]:
+                    left_s = s[:ns // 2]
+                    right_s = s[ns // 2:]
+                else:
+                    right_mask = assign[c, :ns] == 1
+                    left_s = s[~right_mask]
+                    right_s = s[right_mask]
+                node.left = _Node()
+                node.right = _Node()
+                work.append((node.left, left_s))
+                work.append((node.right, right_s))
 
     t1 = _time.time()
     if detail:
