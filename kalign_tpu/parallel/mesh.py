@@ -80,8 +80,10 @@ def pad_rows(a: np.ndarray, to: int, fill=0) -> np.ndarray:
 # sharded distance matrix
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("max_steps", "bt", "pat_w", "sub"))
-def _dist_chunk(tok, tsrc, psrc, tlen, plen, max_steps, bt, pat_w, sub):
+@partial(jax.jit,
+         static_argnames=("max_steps", "bt", "pat_w", "sub", "interpret"))
+def _dist_chunk(tok, tsrc, psrc, tlen, plen, max_steps, bt, pat_w, sub,
+                interpret=False):
     """One device program for a block of (text, pattern) index pairs:
     gathers rows from the resident token table, builds Peq, and runs the
     Pallas Myers kernel over `sub`-sized sub-chunks via lax.map (bounds
@@ -98,7 +100,8 @@ def _dist_chunk(tok, tsrc, psrc, tlen, plen, max_steps, bt, pat_w, sub):
         pats = jnp.zeros((sub, bpm.MAX_PATTERN), jnp.uint8)
         pats = pats.at[:, :pat_w].set(jnp.take(tok, ps, axis=0)[:, :pat_w])
         peq = bpm.build_peq(pats, mm)
-        return bpm_batch_pallas(texts, nn, peq, mm, max_steps, bt=bt)
+        return bpm_batch_pallas(texts, nn, peq, mm, max_steps, bt=bt,
+                                interpret=interpret)
 
     return jax.lax.map(one, (tsrc.reshape(S, sub), psrc.reshape(S, sub),
                              tlen.reshape(S, sub),
@@ -107,7 +110,8 @@ def _dist_chunk(tok, tsrc, psrc, tlen, plen, max_steps, bt, pat_w, sub):
 
 def pallas_anchor_distances(tokens: np.ndarray, lengths: np.ndarray,
                             anchors: Sequence[int], bt: int = 2048,
-                            chunk: int = 524288) -> np.ndarray:
+                            chunk: int = 524288,
+                            interpret: bool = False) -> np.ndarray:
     """Single-device fast path: all N*K (sequence, anchor) pairs flow
     through the Pallas bit-parallel kernel (tpu/bpm_pallas.py), with the
     longer-side-is-text orientation resolved HOST-side per pair
@@ -158,7 +162,7 @@ def pallas_anchor_distances(tokens: np.ndarray, lengths: np.ndarray,
                              np.ones(pad, np.int32)]).astype(np.int32)
         d = _dist_chunk(tok_dev, jnp.asarray(ts), jnp.asarray(ps),
                         jnp.asarray(nn), jnp.asarray(mm),
-                        max_steps, bt, pat_w, sub)
+                        max_steps, bt, pat_w, sub, interpret)
         parts.append(d[:Bc])
     out = np.asarray(jnp.concatenate(parts)) if len(parts) > 1 \
         else np.asarray(parts[0])
