@@ -99,3 +99,43 @@ def test_device_tree_structure_valid(monkeypatch):
         used.update((int(a), int(b)))
         seen.add(int(c))
     assert len(seq_dist) == n and np.all(seq_dist >= 0)
+
+
+@pytest.mark.slow
+def test_device_tree_structure_valid_at_scale():
+    """Multi-bucket path: ~3000 sequences recurse through several size
+    buckets (256/2048/16384) and cluster groups per launch; the task
+    list must still be a valid full binary merge order and every leaf
+    must appear exactly once."""
+    from kalign_tpu.dssim import generate_test_sequences
+    from kalign_tpu.core.msa import Msa
+    from kalign_tpu import engine as EE
+    from kalign_tpu.core import alphabet as alpha
+    from kalign_tpu.tpu.engine import TpuEngine
+    from kalign_tpu.tpu.kmeans import build_tree_device
+    from kalign_tpu.engine import HostEngine, pick_anchors
+
+    seqs, names = generate_test_sequences(n_seq=3000, length=60, seed=11)
+    m = Msa.from_sequences(seqs, names)
+    m.quiet = True
+    m.essential_input_check()
+    m.dealign()
+    m.sort_len_name()
+    codes = EE._encoded(m, alpha.ALPHA_REDUCED_PROTEIN)
+    he = HostEngine(1)
+    anchors = pick_anchors(m)
+    dm = he.anchor_distances(codes, anchors)
+    tasks, seq_dist = build_tree_device(TpuEngine(1), codes, dm,
+                                        len(anchors))
+    n = len(codes)
+    assert tasks.shape == (n - 1, 3)
+    cs = sorted(int(c) for _, _, c in tasks)
+    assert cs == list(range(n, 2 * n - 1))
+    seen = set(range(n))
+    used = set()
+    for a, b, c in sorted(tasks, key=lambda t: t[2]):
+        assert int(a) in seen and int(b) in seen
+        assert int(a) not in used and int(b) not in used
+        used.update((int(a), int(b)))
+        seen.add(int(c))
+    assert len(used) == 2 * n - 2
