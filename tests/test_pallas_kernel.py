@@ -119,3 +119,22 @@ def test_traceback_large_batch_validity():
         s = steps[k, :nsteps[k]]
         assert np.sum(s != 1) == la[k], k
         assert np.sum(s != 2) == lb[k], k
+
+
+def test_pallas_scores_only_pre_transposed():
+    """The bench.py configuration: no decisions, no centering bias,
+    stream-layout input.  The scores-only branch shares the colpen
+    packing with the full path but takes the cheaper roll — it must
+    produce identical scores."""
+    B, L1p, L2p = 8, 128, 128
+    rng = np.random.default_rng(977)
+    match, pc, pr, la, lb = _random_problem(rng, B, L1p, L2p)
+    mt = np.ascontiguousarray(np.transpose(match, (1, 0, 2)))  # [L1, B, W]
+    _, score, _ = gotoh_forward_pallas(
+        jnp.asarray(mt), jnp.asarray(pc), jnp.asarray(pr),
+        jnp.asarray(la), jnp.asarray(lb), bt=8, with_dec=False,
+        with_bias=False, pre_transposed=True, interpret=True)
+    score = np.asarray(score)
+    ref_scores, _ = _xla_reference(match, pc, pr, la, lb)
+    for k in range(B):
+        assert score[k] == pytest.approx(ref_scores[k], rel=1e-5), k
