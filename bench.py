@@ -125,7 +125,42 @@ def bench_bpm(batch=256, n=512, m=512, iters=5, warmup=1):
     return cells / dt / 1e9
 
 
+def _probe_backend(timeout_s=150, retries=4, sleep_s=120):
+    """Guard against a wedged device transport: on remote-compile /
+    tunneled setups, backend init (or the first tiny computation) can
+    block for many minutes when the tunnel is stuck (observed on the
+    dev chip: even jax.devices() hangs).  Probe in a SUBPROCESS under a
+    timeout, retrying a few times, so a dead transport yields an error
+    JSON line instead of a silent hang.  Returns None when healthy,
+    else the failure string."""
+    import subprocess
+    code = ("import jax, jax.numpy as jnp;"
+            "x = jnp.ones((128, 128));"
+            "print('OK', float((x @ x).sum()))")
+    err = "unknown"
+    for attempt in range(retries):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True,
+                               timeout=timeout_s)
+            if r.returncode == 0 and "OK" in r.stdout:
+                return None
+            err = (r.stderr.strip().splitlines() or ["probe failed"])[-1]
+        except subprocess.TimeoutExpired:
+            err = f"device probe hung > {timeout_s}s (wedged transport?)"
+        if attempt < retries - 1:
+            time.sleep(sleep_s)
+    return err
+
+
 def main():
+    probe_err = _probe_backend()
+    if probe_err is not None:
+        print(json.dumps({
+            "metric": "dp_gcups_per_chip", "value": 0.0, "unit": "GCUPS",
+            "vs_baseline": 0.0, "error": f"backend unavailable: {probe_err}",
+        }))
+        return 0
     try:
         gcups, wall_gcups, per_try = bench_gotoh()
         result = {
