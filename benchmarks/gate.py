@@ -68,6 +68,18 @@ def main(argv=None):
         print(f"baseline updated: {args.baseline}")
         return 0
     baseline = json.load(open(args.baseline))
+    if (baseline.get("engine") and results.get("engine")
+            and baseline["engine"] != results["engine"]):
+        # engines have DOCUMENTED per-category differences (tpu-fast's
+        # score-optimal ties vs the host's Hirschberg paths diverge
+        # most on low-identity DNA); cross-engine comparisons mislead —
+        # each engine gates against its own committed baseline
+        # (benchmarks/baseline.json = host,
+        #  benchmarks/baseline_tpu-fast.json = tpu-fast)
+        print(f"WARNING: baseline engine {baseline['engine']!r} != "
+              f"results engine {results['engine']!r}; cross-engine "
+              f"category gating is not meaningful — use the matching "
+              f"baseline file")
     failures = compare(results, baseline, args.tolerance)
     warns = wall_warnings(results, baseline, args.tolerance)
     if args.gate_time:
