@@ -91,33 +91,76 @@ def build_parser():
                         "alignment into DIR (open with TensorBoard / "
                         "xprof)")
     p.add_argument("--server", default=None, metavar="SOCKET",
+                   nargs="?", const="__default__",
                    help="send this invocation to a running warm "
                         "alignment server (python -m kalign_tpu.serve) "
                         "instead of paying per-process compile/load "
-                        "costs")
+                        "costs; bare --server uses the default socket")
+    p.add_argument("--server-start", action="store_true",
+                   help="with --server: spawn the warm server in the "
+                        "background if the socket is not answering, "
+                        "wait for it, then submit")
     p.add_argument("files", nargs="*")
     return p
+
+
+def _ensure_server(sock: str, timeout: float = 900.0) -> None:
+    """Spawn the warm server detached if the socket is not answering,
+    then wait for it to come up (first start pays the warmup compiles —
+    minutes on remote-compile devices; later CLI calls are warm)."""
+    import socket as socklib
+    import subprocess
+    import time
+
+    def _alive():
+        try:
+            with socklib.socket(socklib.AF_UNIX,
+                                socklib.SOCK_STREAM) as s:
+                s.settimeout(5.0)
+                s.connect(sock)
+            return True
+        except OSError:
+            return False
+
+    if _alive():
+        return
+    subprocess.Popen(
+        [sys.executable, "-m", "kalign_tpu.serve", "--socket", sock],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        start_new_session=True)
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if _alive():
+            return
+        time.sleep(1.0)
+    raise SystemExit(f"server on {sock} did not come up in {timeout:.0f}s")
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.server is not None:
-        from kalign_tpu.serve import request
+        from kalign_tpu.serve import DEFAULT_SOCKET, request
+        sock = (DEFAULT_SOCKET if args.server == "__default__"
+                else args.server)
         fwd = list(sys.argv[1:]) if argv is None else list(argv)
-        # strip the --server flag before forwarding
+        # strip the --server flags before forwarding
         out = []
-        skip = False
-        for tok in fwd:
-            if skip:
-                skip = False
-                continue
+        i = 0
+        while i < len(fwd):
+            tok = fwd[i]
             if tok == "--server":
-                skip = True
-                continue
-            if tok.startswith("--server="):
-                continue
-            out.append(tok)
-        resp = request(args.server, out)
+                # drop the flag, and its value token when one was parsed
+                if args.server != "__default__" and i + 1 < len(fwd) \
+                        and fwd[i + 1] == args.server:
+                    i += 1
+            elif tok == "--server-start" or tok.startswith("--server="):
+                pass
+            else:
+                out.append(tok)
+            i += 1
+        if args.server_start:
+            _ensure_server(sock)
+        resp = request(sock, out)
         if resp.get("error"):
             print(resp["error"], file=sys.stderr)
         return int(resp.get("rc", 1))

@@ -87,3 +87,68 @@ def test_server_reports_errors(tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_server_start_skips_spawn_when_alive(tmp_path, monkeypatch):
+    """--server-start must not spawn a second daemon when the socket
+    already answers."""
+    import socket as socklib
+    import subprocess as sp
+    from kalign_tpu import cli
+
+    sock = str(tmp_path / "alive.sock")
+    srv = socklib.socket(socklib.AF_UNIX, socklib.SOCK_STREAM)
+    srv.bind(sock)
+    srv.listen(1)
+    try:
+        def boom(*a, **k):
+            raise AssertionError("spawned despite live socket")
+        monkeypatch.setattr(sp, "Popen", boom)
+        cli._ensure_server(sock, timeout=5)
+    finally:
+        srv.close()
+
+
+def test_server_start_times_out_cleanly(tmp_path, monkeypatch):
+    import subprocess as sp
+    import pytest
+    from kalign_tpu import cli
+
+    sock = str(tmp_path / "never.sock")
+    spawned = {}
+
+    class _P:
+        def __init__(self, *a, **k):
+            spawned["argv"] = a[0]
+    monkeypatch.setattr(sp, "Popen", _P)
+    with pytest.raises(SystemExit):
+        cli._ensure_server(sock, timeout=2)
+    assert "kalign_tpu.serve" in " ".join(spawned["argv"])
+
+
+def test_server_flag_stripping(tmp_path, monkeypatch):
+    """All --server* spellings must be stripped from the forwarded
+    argv; the alignment flags must survive."""
+    import kalign_tpu.serve as S
+    from kalign_tpu import cli
+
+    seen = {}
+
+    def fake_request(sock, argv):
+        seen["sock"] = sock
+        seen["argv"] = list(argv)
+        return {"rc": 0, "error": ""}
+
+    monkeypatch.setattr(S, "request", fake_request)
+    monkeypatch.setattr(cli, "_ensure_server", lambda s, timeout=900: None)
+    for argv, want_sock in [
+            (["--server", "/tmp/x.sock", "-i", "in.fa", "-o", "o.afa"],
+             "/tmp/x.sock"),
+            (["--server=/tmp/y.sock", "-i", "in.fa", "-o", "o.afa"],
+             "/tmp/y.sock"),
+            (["-i", "in.fa", "--server-start", "--server=/tmp/z.sock",
+              "-o", "o.afa"], "/tmp/z.sock"),
+    ]:
+        assert cli.main(argv) == 0
+        assert seen["sock"] == want_sock
+        assert seen["argv"] == ["-i", "in.fa", "-o", "o.afa"], seen["argv"]
