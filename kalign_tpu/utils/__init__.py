@@ -137,3 +137,35 @@ def ensure_compile_cache():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
+    if os.environ.get("KALIGN_TPU_CACHE_KEY_STRIP_DEVICES"):
+        _strip_device_assignment_from_cache_key()
+
+
+def _strip_device_assignment_from_cache_key():
+    """Opt-in (KALIGN_TPU_CACHE_KEY_STRIP_DEVICES=1): hash compile
+    options WITHOUT the device assignment, on every platform.
+
+    jax's persistent-cache key already strips the device assignment on
+    GPU (cache_key.py: strip_device_assignment=(platform == "gpu")) but
+    keeps it on TPU, where device ids are assumed stable.  On pooled /
+    remotely-claimed TPU setups each process can be granted different
+    physical device ordinals, so identical programs hash to different
+    cache entries and every fresh process recompiles.  Single-device
+    alignment programs are placement-insensitive, so dropping the
+    assignment from the KEY is sound there (the compiled executable
+    still targets the devices jax hands it at dispatch)."""
+    try:
+        from jax._src import cache_key as _ck
+        if getattr(_ck, "_kalign_strip_installed", False):
+            return
+        orig = _ck._hash_serialized_compile_options
+
+        def patched(hash_obj, compile_options_obj,
+                    strip_device_assignment=False):
+            return orig(hash_obj, compile_options_obj,
+                        strip_device_assignment=True)
+
+        _ck._hash_serialized_compile_options = patched
+        _ck._kalign_strip_installed = True
+    except Exception:
+        pass

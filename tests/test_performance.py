@@ -36,3 +36,36 @@ def test_protein_100_smoke_time():
     rows = api.align(seqs, names=names)
     assert time.time() - t0 < 30.0
     assert len(set(map(len, rows))) == 1
+
+
+def test_cache_key_device_assignment_strip():
+    """KALIGN_TPU_CACHE_KEY_STRIP_DEVICES: identical programs granted
+    different device ordinals (pooled/remotely-claimed TPU setups) must
+    hash to one persistent-cache entry once the strip is installed —
+    jax only does this for GPU by default (cache_key.py)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax._src import cache_key as ck
+    from jax._src import compiler
+    from kalign_tpu.utils import _strip_device_assignment_from_cache_key
+
+    f = jax.jit(lambda x: (x @ x).sum())
+    mod = f.lower(jnp.ones((16, 16))).compiler_ir()
+    backend = jax.devices()[0].client
+    devs = np.array(jax.devices())
+
+    def key(ids):
+        opts = compiler.get_compile_options(
+            num_replicas=1, num_partitions=1, device_assignment=[ids])
+        return ck.get(mod, devs, opts, backend)
+
+    assert key([0]) != key([1])          # jax default on non-GPU
+    _strip_device_assignment_from_cache_key()
+    try:
+        assert key([0]) == key([1])
+        assert key([0]) == key([7])
+    finally:
+        # leave the patch installed; it is idempotent and the strip only
+        # widens cache hits
+        pass
