@@ -152,3 +152,16 @@ def test_server_flag_stripping(tmp_path, monkeypatch):
         assert cli.main(argv) == 0
         assert seen["sock"] == want_sock
         assert seen["argv"] == ["-i", "in.fa", "-o", "o.afa"], seen["argv"]
+
+
+def test_warmup_seeds_cache(tmp_path, monkeypatch):
+    """python -m kalign_tpu.warmup must run the engines over its size
+    grid without error (CPU backend) and leave the compile cache
+    enabled; failures in one size must not abort the rest."""
+    import jax
+    from kalign_tpu import warmup as W
+
+    monkeypatch.setenv("KALIGN_TPU_COMPILE_CACHE", str(tmp_path / "xla"))
+    W.warmup(engines=("tpu-fast",), sizes=[(8, 60)], consistency=False,
+             quiet=True)
+    assert jax.config.jax_compilation_cache_dir
