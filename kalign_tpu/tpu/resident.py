@@ -65,33 +65,20 @@ def _pow2(n: int, lo: int = 8) -> int:
 # fused per-bucket program: gather operands -> DP -> traceback -> merge
 # ---------------------------------------------------------------------------
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("L1p", "L2p", "S", "use_pallas", "bt", "R"))
-def _bucket_step(live_counts, live_subrows, live_pen, tokens, tok_lens,
-                 subm,
-                 rows_slot, cols_slot, rows_leaf, cols_leaf,
-                 rows_is_leaf, cols_is_leaf, cif, swap_ab,
-                 la, lb, soff, eff_pen, nsip_r, nsip_c,
-                 sip_a, sip_b, base_pen, eps,
-                 L1p, L2p, S, use_pallas, bt, R, bonus=None):
-    """One level bucket, fully on device.
-
-    Index arrays (all [B]): rows_slot/cols_slot into the live buffers
-    (0 when the operand is a leaf), rows_leaf/cols_leaf into tokens,
-    rows_is_leaf/cols_is_leaf flags, cif = "columns side is the leaf"
-    (lhs takes subrows, rhs takes counts — aln_run.c's seq-vs-profile
-    orientation), swap_ab = rows side is task operand b (steps must be
-    mirrored into a/b space).  soff/eff_pen per merge come from the
-    VSM / gap-scale schedule (aln_run.c:126-203), base_pen is the
-    unscaled [gpo, gpe, tgpe] used by the merge bookkeeping
-    (update_n), sip_a/sip_b = nsip of the task's a/b operands.
-
-    Returns steps [B, S] int8 (a/b space), nsteps [B], score [B], and
-    the merged profile arrays [B, Lout=S-2, 23]/[B, Lout, 3].
-    """
+def _produce_operands(live_counts, live_subrows, live_pen, tokens,
+                      tok_lens, subm,
+                      rows_slot, cols_slot, rows_leaf, cols_leaf,
+                      rows_is_leaf, cols_is_leaf, cif,
+                      la, lb, soff, eff_pen, nsip_r, nsip_c, eps,
+                      L1p, L2p, bonus):
+    """Shared producer for the bucket programs: operand gather (live
+    slots / in-program leaves), DP penalty layout, match matmul, and
+    the consistency bonus accumulator.  Returns
+    (sides, match_raw, pc, pr, slope, acc) where acc is None without a
+    consistency table; the caller applies the centering bias
+    (match_raw - dev*eps [+ acc]) so multi-candidate programs can vary
+    eps while keeping the single-candidate float op order."""
     B = rows_slot.shape[0]
-    Lout = S - 2
 
     def gather_side(slot, leaf, is_leaf, Lp, soff_v):
         # live operand rows (static slice to the bucket width)
@@ -144,22 +131,32 @@ def _bucket_step(live_counts, live_subrows, live_pen, tokens, tok_lens,
         preferred_element_type=jnp.float32)          # [B, L1p, L2p]
     slope = lb.astype(jnp.float32) / jnp.maximum(la.astype(jnp.float32), 1.0)
 
+    acc = None
     if bonus is not None:
-        # consistency bonus: bias FIRST in the same float order as the
-        # non-resident paths (_fused_forward), then accumulate the
-        # densified bonus k-by-k; kernel bias is zeroed
         per_w, apr, cfr, apc, cfc = bonus
-        ii = jnp.arange(1, L1p + 1, dtype=jnp.float32)[None, :, None]
-        jj = jnp.arange(1, L2p + 1, dtype=jnp.float32)[None, None, :]
-        dev = jnp.abs(jj - ii * slope[:, None, None])
-        match = match - dev * eps[:, None, None]
         acc = jnp.zeros_like(match)
         for k in range(apr.shape[1]):
             eq = (apr[:, k, :, None] == apc[:, k, None, :]) & \
                 (apr[:, k, :, None] >= 0)
             term = (per_w * cfr[:, k, :, None]) * cfc[:, k, None, :]
             acc = acc + jnp.where(eq, term, 0.0)
-        match = match + acc
+
+    sides = (r_counts, r_subrows, r_pen, c_counts, c_subrows, c_pen)
+    return sides, match, pc, pr, slope, acc
+
+
+def _forward_traceback(match_raw, acc, pc, pr, la, lb, slope, eps,
+                       L1p, L2p, S, use_pallas, bt, R):
+    """Centering bias + forward DP + packed traceback for one candidate.
+    With a consistency accumulator the bias folds into the match in XLA
+    (same float order as the pre-refactor fused path: (raw - dev*eps)
+    + acc) and the kernel bias is zeroed."""
+    match = match_raw
+    if acc is not None:
+        ii = jnp.arange(1, L1p + 1, dtype=jnp.float32)[None, :, None]
+        jj = jnp.arange(1, L2p + 1, dtype=jnp.float32)[None, None, :]
+        dev = jnp.abs(jj - ii * slope[:, None, None])
+        match = (match - dev * eps[:, None, None]) + acc
         slope = jnp.zeros_like(slope)
         eps = jnp.zeros_like(eps)
 
@@ -170,7 +167,7 @@ def _bucket_step(live_counts, live_subrows, live_pen, tokens, tok_lens,
             slope=slope, bias_eps=eps)
     else:
         from kalign_tpu.tpu import gotoh
-        if bonus is None:
+        if acc is None:
             ii = jnp.arange(1, L1p + 1, dtype=jnp.float32)[None, :, None]
             jj = jnp.arange(1, L2p + 1, dtype=jnp.float32)[None, None, :]
             dev = jnp.abs(jj - ii * slope[:, None, None])
@@ -185,6 +182,16 @@ def _bucket_step(live_counts, live_subrows, live_pen, tokens, tok_lens,
 
     from kalign_tpu.tpu.traceback import traceback_batch
     steps_rc, nsteps = traceback_batch(dec, la, lb, st, S)
+    return steps_rc, nsteps, score
+
+
+def _merge_from_steps(steps_rc, nsteps, score, sides, swap_ab,
+                      sip_a, sip_b, base_pen, L1p, L2p, S):
+    """Mirror steps into a/b space and merge the profiles along the
+    path (the shared tail of the bucket programs)."""
+    r_counts, r_subrows, r_pen, c_counts, c_subrows, c_pen = sides
+    B = steps_rc.shape[0]
+    Lout = S - 2
 
     # rows/cols -> a/b step space (mirror_path_n, aln_setup.c:438-462)
     mirrored = jnp.where(steps_rc == 1, 2,
@@ -249,8 +256,46 @@ def _bucket_step(live_counts, live_subrows, live_pen, tokens, tok_lens,
     gp = jnp.where(is_gb & ~term, gpe_b * sipb, gp)
     subrows_new = subrows_new - gp[:, :, None]
 
+    _ = gpo_b  # gpo enters through the DP, not the merge
     return (steps, nsteps.astype(jnp.int32), score,
             counts_new[:, :Lout], subrows_new[:, :Lout], pen_new[:, :Lout])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L1p", "L2p", "S", "use_pallas", "bt", "R"))
+def _bucket_step(live_counts, live_subrows, live_pen, tokens, tok_lens,
+                 subm,
+                 rows_slot, cols_slot, rows_leaf, cols_leaf,
+                 rows_is_leaf, cols_is_leaf, cif, swap_ab,
+                 la, lb, soff, eff_pen, nsip_r, nsip_c,
+                 sip_a, sip_b, base_pen, eps,
+                 L1p, L2p, S, use_pallas, bt, R, bonus=None):
+    """One level bucket, fully on device.
+
+    Index arrays (all [B]): rows_slot/cols_slot into the live buffers
+    (0 when the operand is a leaf), rows_leaf/cols_leaf into tokens,
+    rows_is_leaf/cols_is_leaf flags, cif = "columns side is the leaf"
+    (lhs takes subrows, rhs takes counts — aln_run.c's seq-vs-profile
+    orientation), swap_ab = rows side is task operand b (steps must be
+    mirrored into a/b space).  soff/eff_pen per merge come from the
+    VSM / gap-scale schedule (aln_run.c:126-203), base_pen is the
+    unscaled [gpo, gpe, tgpe] used by the merge bookkeeping
+    (update_n), sip_a/sip_b = nsip of the task's a/b operands.
+
+    Returns steps [B, S] int8 (a/b space), nsteps [B], score [B], and
+    the merged profile arrays [B, Lout=S-2, 23]/[B, Lout, 3].
+    """
+    sides, match_raw, pc, pr, slope, acc = _produce_operands(
+        live_counts, live_subrows, live_pen, tokens, tok_lens, subm,
+        rows_slot, cols_slot, rows_leaf, cols_leaf,
+        rows_is_leaf, cols_is_leaf, cif,
+        la, lb, soff, eff_pen, nsip_r, nsip_c, eps, L1p, L2p, bonus)
+    steps_rc, nsteps, score = _forward_traceback(
+        match_raw, acc, pc, pr, la, lb, slope, eps,
+        L1p, L2p, S, use_pallas, bt, R)
+    return _merge_from_steps(steps_rc, nsteps, score, sides, swap_ab,
+                             sip_a, sip_b, base_pen, L1p, L2p, S)
 
 
 # ---------------------------------------------------------------------------
