@@ -498,12 +498,22 @@ class TpuEngine:
                                              eps=cand[0], ct=ct)
             if res is not None:
                 return res
+        elif refine_mode == P.REFINE_ALL:
+            # multi-candidate resident pass: K DPs per merge + on-device
+            # expected-SP trial selection (near-SP-ties may pick a
+            # different — equally scoring — candidate than the host
+            # path's float64 scorer)
+            res = self._progressive_resident(codes, tasks, ap, sd,
+                                             eps=cand[0], ct=ct,
+                                             cands=cand)
+            if res is not None:
+                return res
         gaps, conf, _ = self._progressive(codes, tasks, ap, sd, ct,
                                           lambda t: cand)
         return gaps, conf
 
     def _progressive_resident(self, codes, tasks, ap: P.AlnParam, sd, eps,
-                              ct=None):
+                              ct=None, cands=None):
         """Device-resident progressive pass (tpu/resident.py): profiles
         and gap state stay on device between levels; only per-level
         profile lengths cross to the host.  Returns None when the
@@ -529,7 +539,8 @@ class TpuEngine:
         sip: List[Optional[List[int]]] = [[i] for i in range(n)] + \
             [None] * (n - 1)
         nsip = [1] * n + [0] * (n - 1)
-        rp = ResidentPass(self, codes, ap, sd, eps, ct=ct)
+        rp = ResidentPass(self, codes, ap, sd, eps, ct=ct,
+                          cands=cands if cands and len(cands) > 1 else None)
         return rp.run(order, task_index, levels, sip, nsip)
 
     def _progressive(self, codes, tasks, ap: P.AlnParam, sd, ct, cand_for):

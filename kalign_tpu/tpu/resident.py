@@ -298,6 +298,144 @@ def _bucket_step(live_counts, live_subrows, live_pen, tokens, tok_lens,
                              sip_a, sip_b, base_pen, L1p, L2p, S)
 
 
+def _sp_scores(steps_rc, nsteps, r_counts, c_counts, gaps_rows, gaps_cols,
+               nsip_r, nsip_c, subm, base_pen, L1p, L2p, S):
+    """Expected cross-group sum-of-pairs of candidate paths, on device
+    (compute_sp_score, lib/src/sp_score.c:75-201 — the batched analogue
+    of tpu/profile.py::sp_score_from_profiles, which the host-assembled
+    path uses for trial selection).  Works in rows/cols space, BEFORE
+    the a/b mirror, exactly like TpuEngine._select_candidates.
+
+    f32 accumulation (the host scorer sums in float64): candidate
+    selection may differ from the host path on near-SP-ties, which the
+    throughput engine's score-optimal contract allows.
+
+    steps_rc [B, S], gaps_rows [B, L1p] / gaps_cols [B, L2p] per-column
+    gap counts of each side's current partial alignment.  Returns
+    [B] f32."""
+    t = jnp.arange(S)[None, :]
+    valid = t < nsteps[:, None]
+    is_m = (steps_rc == 0) & valid
+    is_ga = (steps_rc == 1) & valid       # gap in rows: consumes a col
+    is_gb = (steps_rc == 2) & valid       # gap in cols: consumes a row
+    ai = jnp.cumsum((steps_rc != 1).astype(jnp.int32), axis=1) - 1
+    bi = jnp.cumsum((steps_rc != 2).astype(jnp.int32), axis=1) - 1
+    aic = jnp.clip(ai, 0, L1p - 1)
+    bic = jnp.clip(bi, 0, L2p - 1)
+
+    # terminal mask: leading + trailing non-match runs (_terminal_mask)
+    BIG = jnp.int32(1 << 30)
+    fz = jnp.min(jnp.where(is_m, t, BIG), axis=1)[:, None]
+    lz = jnp.max(jnp.where(is_m, t, -1), axis=1)[:, None]
+    term = valid & ((t < fz) | (t > lz))
+    gpo = base_pen[:, 0:1]
+    pen = jnp.where(term, base_pen[:, 2:3], base_pen[:, 1:2])   # [B, S]
+
+    fa = jnp.take_along_axis(r_counts, aic[:, :, None], axis=1)  # [B,S,23]
+    fb = jnp.take_along_axis(c_counts, bic[:, :, None], axis=1)
+    fs = jnp.matmul(fa, subm, preferred_element_type=jnp.float32)
+    mterm = jnp.sum(fs * fb, axis=2)                             # [B, S]
+
+    ga_cnt = jnp.take_along_axis(gaps_rows, aic, axis=1).astype(jnp.float32)
+    gb_cnt = jnp.take_along_axis(gaps_cols, bic, axis=1).astype(jnp.float32)
+    nra = nsip_r[:, None].astype(jnp.float32) - ga_cnt
+    nrb = nsip_c[:, None].astype(jnp.float32) - gb_cnt
+    cross = nra * gb_cnt + ga_cnt * nrb
+    total = jnp.sum(jnp.where(is_m, mterm - cross * pen, 0.0), axis=1)
+
+    # gap runs: per-column pen for every gap step + gpo at run starts
+    npairs_a = nsip_r[:, None].astype(jnp.float32) * nrb   # gap in rows
+    npairs_b = nra * nsip_c[:, None].astype(jnp.float32)   # gap in cols
+    total = total - jnp.sum(jnp.where(is_ga, npairs_a * pen, 0.0)
+                            + jnp.where(is_gb, npairs_b * pen, 0.0), axis=1)
+    z = jnp.zeros_like(is_ga[:, :1])
+    opens_a = is_ga & ~jnp.concatenate([z, is_ga[:, :-1]], axis=1)
+    opens_b = is_gb & ~jnp.concatenate([z, is_gb[:, :-1]], axis=1)
+    total = total - jnp.sum(jnp.where(opens_a, npairs_a, 0.0)
+                            + jnp.where(opens_b, npairs_b, 0.0),
+                            axis=1) * gpo[:, 0]
+    return total
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L1p", "L2p", "S", "K", "use_pallas", "bt", "R"))
+def _bucket_step_refine(live_counts, live_subrows, live_pen, tokens,
+                        tok_lens, subm,
+                        rows_slot, cols_slot, rows_leaf, cols_leaf,
+                        rows_is_leaf, cols_is_leaf, cif, swap_ab,
+                        la, lb, soff, eff_pen, nsip_r, nsip_c,
+                        sip_a, sip_b, base_pen, eps_cands,
+                        gaps_rows, gaps_cols,
+                        L1p, L2p, S, K, use_pallas, bt, R, bonus=None):
+    """Multi-candidate level bucket (refine=all), fully on device: the
+    shared producer runs once, the forward DP + traceback run K times
+    with different centering-bias strengths (eps_cands [B, K]), the
+    expected SP score of every candidate path is computed on device
+    (aln_refine.c:198-253 trial selection), and the argmax path (first
+    wins on ties, like the host's strict-> update over deduped paths)
+    feeds the shared merge tail.  Same return shape as _bucket_step,
+    with the SP score of the selected candidate in the score slot (the
+    host-assembled multi-candidate path reports SP there too)."""
+    sides, match_raw, pc, pr, slope, acc = _produce_operands(
+        live_counts, live_subrows, live_pen, tokens, tok_lens, subm,
+        rows_slot, cols_slot, rows_leaf, cols_leaf,
+        rows_is_leaf, cols_is_leaf, cif,
+        la, lb, soff, eff_pen, nsip_r, nsip_c, eps_cands[:, 0],
+        L1p, L2p, bonus)
+    r_counts = sides[0]
+    c_counts = sides[3]
+
+    all_steps, all_nsteps, all_sp = [], [], []
+    for v in range(K):
+        steps_v, nsteps_v, _ = _forward_traceback(
+            match_raw, acc, pc, pr, la, lb, slope, eps_cands[:, v],
+            L1p, L2p, S, use_pallas, bt, R)
+        sp_v = _sp_scores(steps_v, nsteps_v, r_counts, c_counts,
+                          gaps_rows, gaps_cols, nsip_r, nsip_c, subm,
+                          base_pen, L1p, L2p, S)
+        all_steps.append(steps_v)
+        all_nsteps.append(nsteps_v)
+        all_sp.append(sp_v)
+
+    steps_k = jnp.stack(all_steps)                 # [K, B, S]
+    nsteps_k = jnp.stack(all_nsteps)               # [K, B]
+    sp_k = jnp.stack(all_sp)                       # [K, B]
+    best = jnp.argmax(sp_k, axis=0)                # first max wins
+    t = jnp.arange(S)[None, :]
+    masked = jnp.where(t[None] < nsteps_k[:, :, None], steps_k, STEP_PAD)
+    sel_steps = jnp.take_along_axis(
+        masked, best[None, :, None], axis=0)[0]
+    sel_nsteps = jnp.take_along_axis(nsteps_k, best[None], axis=0)[0]
+    sel_sp = jnp.take_along_axis(sp_k, best[None], axis=0)[0]
+    # disagree flag: any candidate path differs from candidate 0's
+    multi = jnp.any(jnp.any(masked != masked[0:1], axis=2), axis=0)
+
+    out = _merge_from_steps(sel_steps, sel_nsteps, sel_sp, sides, swap_ab,
+                            sip_a, sip_b, base_pen, L1p, L2p, S)
+    return out + (multi,)
+
+
+@functools.partial(jax.jit, static_argnames=("n_nodes", "Lp"))
+def _node_gap_counts_device(gaps_buf, seq_lens, mem_seq, mem_node,
+                            n_nodes, Lp):
+    """Per-column RESIDUE counts of a batch of nodes from the resident
+    gap state (device analogue of tpu/profile.py::column_gap_counts;
+    gap counts = nsip - residue counts, taken by the caller).
+
+    mem_seq/mem_node [M] flatten every node's member list."""
+    g = gaps_buf[mem_seq]                                   # [M, Lg]
+    M, Lg = g.shape
+    rel = jnp.cumsum(g + 1, axis=1) - 1                     # residue -> col
+    ridx = jnp.arange(Lg, dtype=jnp.int32)[None, :]
+    valid = (ridx < seq_lens[mem_seq][:, None]) & (rel < Lp)
+    rows_m = jnp.broadcast_to(jnp.arange(M)[:, None], (M, Lg))
+    pres = jnp.zeros((M, Lp + 1), jnp.int32).at[
+        rows_m, jnp.where(valid, rel, Lp)].add(valid.astype(jnp.int32))
+    return jax.ops.segment_sum(pres[:, :Lp], mem_node,
+                               num_segments=n_nodes)        # [N, Lp]
+
+
 # ---------------------------------------------------------------------------
 # consistency bonus arrays on device (anchor_consistency.c:352-467)
 # ---------------------------------------------------------------------------
@@ -447,13 +585,16 @@ class ResidentPass:
     (_node_positions_device)."""
 
     def __init__(self, engine, codes, ap: P.AlnParam, sd, eps: float,
-                 ct=None):
+                 ct=None, cands=None):
         self.engine = engine
         self.codes = codes
         self.ap = ap
         self.sd = sd
         self.eps = float(eps)
         self.ct = ct
+        # multi-candidate centering-bias schedule (refine=all): every
+        # merge runs len(cands) DPs and keeps the best expected-SP path
+        self.cands = tuple(float(c) for c in cands) if cands else None
         self.n = len(codes)
         self.lens = [len(c) for c in codes]
 
@@ -617,25 +758,25 @@ class ResidentPass:
                 for lo in range(0, Bp, cap):
                     hi = min(lo + cap, Bp)
                     sl = slice(lo, hi)
+                    citems = items[lo:hi]
+                    Bc = hi - lo
+
+                    def members(side_node_sel):
+                        ms, mn, mo = [], [], []
+                        for kk, it in enumerate(citems):
+                            node = it[side_node_sel]
+                            for oo, si in enumerate(sip[node]):
+                                ms.append(si)
+                                mn.append(kk)
+                                mo.append(oo)
+                        if not ms:   # all-pad chunk
+                            ms, mn, mo = [0], [0], [0]
+                        return (jnp.asarray(np.asarray(ms, np.int32)),
+                                jnp.asarray(np.asarray(mn, np.int32)),
+                                jnp.asarray(np.asarray(mo, np.int32)))
+
                     bonus = None
                     if posmap is not None:
-                        citems = items[lo:hi]
-
-                        def members(side_node_sel):
-                            ms, mn, mo = [], [], []
-                            for kk, it in enumerate(citems):
-                                node = it[side_node_sel]
-                                for oo, si in enumerate(sip[node]):
-                                    ms.append(si)
-                                    mn.append(kk)
-                                    mo.append(oo)
-                            if not ms:   # all-pad chunk
-                                ms, mn, mo = [0], [0], [0]
-                            return (jnp.asarray(np.asarray(ms, np.int32)),
-                                    jnp.asarray(np.asarray(mn, np.int32)),
-                                    jnp.asarray(np.asarray(mo, np.int32)))
-
-                        Bc = hi - lo
                         rs, rn_, ro = members(3)   # rows node
                         cs, cn_, co = members(4)   # cols node
                         apr, cfr = _node_positions_device(
@@ -646,7 +787,7 @@ class ResidentPass:
                             n_nodes=Bc, Lp=L2p, K=self.ct.K, dedup=True)
                         bonus = (jnp.float32(self.ct.per_weight),
                                  apr, cfr, apc, cfc)
-                    outs.append(_bucket_step(
+                    common = (
                         live[0], live[1], live[2], tokens, tok_lens, subm,
                         jnp.asarray(rows_slot[sl]), jnp.asarray(cols_slot[sl]),
                         jnp.asarray(rows_leaf[sl]), jnp.asarray(cols_leaf[sl]),
@@ -657,9 +798,35 @@ class ResidentPass:
                         jnp.asarray(soff_v[sl]), jnp.asarray(eff_pen[sl]),
                         jnp.asarray(nsip_r[sl]), jnp.asarray(nsip_c[sl]),
                         jnp.asarray(sip_a_v[sl]), jnp.asarray(sip_b_v[sl]),
-                        jnp.asarray(base_pen[sl]), jnp.asarray(eps_v[sl]),
-                        L1p=L1p, L2p=L2p, S=S, use_pallas=use_pallas,
-                        bt=min(bt, hi - lo), R=R, bonus=bonus))
+                        jnp.asarray(base_pen[sl]))
+                    if self.cands is not None:
+                        # per-side gap counts from the resident state
+                        # feed the on-device SP trial selection
+                        rs2, rn2, _ = members(3)
+                        cs2, cn2, _ = members(4)
+                        res_r = _node_gap_counts_device(
+                            gaps_buf, tok_lens, rs2, rn2,
+                            n_nodes=Bc, Lp=L1p)
+                        res_c = _node_gap_counts_device(
+                            gaps_buf, tok_lens, cs2, cn2,
+                            n_nodes=Bc, Lp=L2p)
+                        gaps_r = (jnp.asarray(nsip_r[sl])[:, None]
+                                  - res_r).astype(jnp.int32)
+                        gaps_c = (jnp.asarray(nsip_c[sl])[:, None]
+                                  - res_c).astype(jnp.int32)
+                        eps_k = jnp.asarray(np.tile(
+                            np.asarray(self.cands, np.float32), (Bc, 1)))
+                        out = _bucket_step_refine(
+                            *common, eps_k, gaps_r, gaps_c,
+                            L1p=L1p, L2p=L2p, S=S, K=len(self.cands),
+                            use_pallas=use_pallas,
+                            bt=min(bt, hi - lo), R=R, bonus=bonus)
+                        outs.append(out[:6])
+                    else:
+                        outs.append(_bucket_step(
+                            *common, jnp.asarray(eps_v[sl]),
+                            L1p=L1p, L2p=L2p, S=S, use_pallas=use_pallas,
+                            bt=min(bt, hi - lo), R=R, bonus=bonus))
                 # keep per-chunk outputs (concatenating the merged
                 # profile arrays would double the transient HBM peak at
                 # 10^5-sequence scale)

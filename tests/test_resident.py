@@ -210,3 +210,129 @@ def test_node_positions_device_matches_host():
         assert np.array_equal(apos_h.astype(np.int64),
                               np.asarray(pos_d)[0].astype(np.int64))
         assert np.allclose(conf_h, np.asarray(conf_d)[0])
+
+
+def test_sp_scores_device_matches_host():
+    """Device _sp_scores (trial selection) vs the host
+    sp_score_from_profiles on random paths, profiles and gap states."""
+    import jax
+    from kalign_tpu.tpu import resident as R
+    from kalign_tpu.tpu.profile import sp_score_from_profiles, Profile
+    from kalign_tpu.tpu.engine import _terminal_mask
+
+    rng = np.random.default_rng(41)
+    B, L1p, L2p = 6, 48, 56
+    S = L1p + L2p + 2
+    subm = rng.normal(scale=2.0, size=(23, 23)).astype(np.float32)
+    subm = (subm + subm.T) / 2
+    gpo, gpe, tgpe = 5.5, 2.0, 1.0
+    base_pen = np.tile(np.array([gpo, gpe, tgpe], np.float32), (B, 1))
+
+    steps = np.full((B, S), R.STEP_PAD, np.int8)
+    nsteps = np.zeros(B, np.int32)
+    r_counts = np.zeros((B, L1p, 23), np.float32)
+    c_counts = np.zeros((B, L2p, 23), np.float32)
+    gaps_r = np.zeros((B, L1p), np.int32)
+    gaps_c = np.zeros((B, L2p), np.int32)
+    nsip_r = rng.integers(1, 6, size=B).astype(np.int32)
+    nsip_c = rng.integers(1, 6, size=B).astype(np.int32)
+
+    host = np.zeros(B)
+    for k in range(B):
+        la = int(rng.integers(8, L1p))
+        lb = int(rng.integers(8, L2p))
+        # random valid path consuming exactly (la rows, lb cols):
+        # step 0 consumes both, 1 consumes a col, 2 consumes a row
+        m = int(rng.integers(1, min(la, lb)))
+        path = [0] * m + [1] * (lb - m) + [2] * (la - m)
+        rng.shuffle(path)
+        n = len(path)
+        steps[k, :n] = path
+        nsteps[k] = n
+        cr = rng.random((la, 23)).astype(np.float32) * nsip_r[k]
+        cc = rng.random((lb, 23)).astype(np.float32) * nsip_c[k]
+        r_counts[k, :la] = cr
+        c_counts[k, :lb] = cc
+        gr = rng.integers(0, nsip_r[k] + 1, size=la).astype(np.int64)
+        gc = rng.integers(0, nsip_c[k] + 1, size=lb).astype(np.int64)
+        gaps_r[k, :la] = gr
+        gaps_c[k, :lb] = gc
+        pa = Profile(counts=cr, subrows=cr, pen=np.zeros((la + 2, 3),
+                                                          np.float32))
+        pb = Profile(counts=cc, subrows=cc, pen=np.zeros((lb + 2, 3),
+                                                          np.float32))
+        st = np.asarray(path, np.int8)
+        host[k] = sp_score_from_profiles(
+            pa, pb, st, _terminal_mask(st), int(nsip_r[k]),
+            int(nsip_c[k]), gr, gc, subm, gpo, gpe, tgpe)
+
+    dev = np.asarray(R._sp_scores(
+        jnp.asarray(steps), jnp.asarray(nsteps), jnp.asarray(r_counts),
+        jnp.asarray(c_counts), jnp.asarray(gaps_r), jnp.asarray(gaps_c),
+        jnp.asarray(nsip_r), jnp.asarray(nsip_c), jnp.asarray(subm),
+        jnp.asarray(base_pen), L1p, L2p, S))
+    for k in range(B):
+        assert dev[k] == pytest.approx(host[k], rel=2e-5), \
+            (k, dev[k], host[k])
+
+
+def test_node_gap_counts_device_matches_host(monkeypatch):
+    """Residue/gap counts from the resident gap state vs the host
+    column_gap_counts on a real mid-alignment state."""
+    from kalign_tpu.tpu import resident as R
+    from kalign_tpu.tpu.profile import column_gap_counts
+
+    rng = np.random.default_rng(9)
+    n, Lg = 7, 30
+    lens = rng.integers(5, Lg - 1, size=n).astype(np.int32)
+    gaps = []
+    gaps_buf = np.zeros((n, Lg), np.int32)
+    for i in range(n):
+        g = rng.integers(0, 3, size=lens[i] + 1).astype(np.int64)
+        gaps.append(g.tolist())
+        gaps_buf[i, :lens[i] + 1] = g
+    # nodes: {0,1,2} and {3,4}, plus leaf {6}
+    nodes = [[0, 1, 2], [3, 4], [6]]
+    mem_seq, mem_node = [], []
+    for kk, mem in enumerate(nodes):
+        for m in mem:
+            mem_seq.append(m)
+            mem_node.append(kk)
+    # real callers always size the profile to cover every member's
+    # residue columns (weave invariants) — mirror that here
+    Lp = 1 + max(int(np.max(np.cumsum(np.asarray(gaps[i][:-1]) + 1) - 1))
+                 for i in range(n))
+    res = np.asarray(R._node_gap_counts_device(
+        jnp.asarray(gaps_buf), jnp.asarray(lens),
+        jnp.asarray(np.asarray(mem_seq, np.int32)),
+        jnp.asarray(np.asarray(mem_node, np.int32)),
+        n_nodes=len(nodes), Lp=Lp))
+    for kk, mem in enumerate(nodes):
+        want_gaps = column_gap_counts(Lp, len(mem), mem, lens, gaps)
+        got_gaps = len(mem) - res[kk]
+        assert np.array_equal(got_gaps, want_gaps), kk
+
+
+@pytest.mark.parametrize("case", ["BB11001", "BB12006"])
+def test_resident_refine_all_matches_host_assembled(case, monkeypatch):
+    """refine=all through the multi-candidate resident pass vs the
+    host-assembled path.  Candidate selection compares SP in f32 on
+    device vs float64 on host, so assert alignment equality (no ties on
+    these families) — if this ever flakes on a near-tie, compare SP."""
+    from kalign_tpu.core import io as kio
+    from kalign_tpu.core import params as P
+    from kalign_tpu import engine as E
+    from conftest import DATA
+
+    outs = {}
+    for resident in (False, True):
+        if resident:
+            monkeypatch.delenv("KALIGN_TPU_NO_RESIDENT", raising=False)
+        else:
+            monkeypatch.setenv("KALIGN_TPU_NO_RESIDENT", "1")
+        m = kio.read_alignment(os.path.join(DATA, case + ".tfa"))
+        m.quiet = True
+        out = E.align_msa(m, consistency_anchors=0, engine="tpu-fast",
+                          refine=P.REFINE_ALL)
+        outs[resident] = kio.write_fasta(out)
+    assert outs[True] == outs[False]
