@@ -486,6 +486,20 @@ class TpuEngine:
         full = (1e-3, 0.0, 4e-3)
         if refine_mode == P.REFINE_CONFIDENT:
             probe = (1e-3, 0.0)
+            # both passes resident when possible: the probe returns the
+            # on-device path-disagreement flags, the replay spends the
+            # full candidate budget only on flagged merges
+            res = self._progressive_resident(codes, tasks, ap, sd,
+                                             eps=probe[0], ct=ct,
+                                             cand_for=lambda t: probe)
+            if res is not None:
+                _, _, disagree = res
+                res = self._progressive_resident(
+                    codes, tasks, ap, sd, eps=1e-3, ct=ct,
+                    cand_for=lambda t: full if disagree[t] else (1e-3,))
+            if res is not None:
+                gaps, conf, _ = res
+                return gaps, conf
             _, _, disagree = self._progressive(codes, tasks, ap, sd, ct,
                                                lambda t: probe)
             gaps, conf, _ = self._progressive(
@@ -493,27 +507,21 @@ class TpuEngine:
                 lambda t: full if disagree[t] else (1e-3,))
             return gaps, conf
         cand = (1e-3,) if refine_mode == P.REFINE_NONE else full
-        if refine_mode == P.REFINE_NONE:
-            res = self._progressive_resident(codes, tasks, ap, sd,
-                                             eps=cand[0], ct=ct)
-            if res is not None:
-                return res
-        elif refine_mode == P.REFINE_ALL:
-            # multi-candidate resident pass: K DPs per merge + on-device
-            # expected-SP trial selection (near-SP-ties may pick a
-            # different — equally scoring — candidate than the host
-            # path's float64 scorer)
-            res = self._progressive_resident(codes, tasks, ap, sd,
-                                             eps=cand[0], ct=ct,
-                                             cands=cand)
-            if res is not None:
-                return res
+        # multi-candidate merges run K DPs + on-device expected-SP trial
+        # selection (near-SP-ties may pick a different — equally
+        # scoring — candidate than the host path's float64 scorer)
+        res = self._progressive_resident(
+            codes, tasks, ap, sd, eps=cand[0], ct=ct,
+            cand_for=(lambda t: cand) if len(cand) > 1 else None)
+        if res is not None:
+            gaps, conf, _ = res
+            return gaps, conf
         gaps, conf, _ = self._progressive(codes, tasks, ap, sd, ct,
                                           lambda t: cand)
         return gaps, conf
 
     def _progressive_resident(self, codes, tasks, ap: P.AlnParam, sd, eps,
-                              ct=None, cands=None):
+                              ct=None, cand_for=None):
         """Device-resident progressive pass (tpu/resident.py): profiles
         and gap state stay on device between levels; only per-level
         profile lengths cross to the host.  Returns None when the
@@ -540,7 +548,7 @@ class TpuEngine:
             [None] * (n - 1)
         nsip = [1] * n + [0] * (n - 1)
         rp = ResidentPass(self, codes, ap, sd, eps, ct=ct,
-                          cands=cands if cands and len(cands) > 1 else None)
+                          cand_for=cand_for)
         return rp.run(order, task_index, levels, sip, nsip)
 
     def _progressive(self, codes, tasks, ap: P.AlnParam, sd, ct, cand_for):

@@ -585,16 +585,18 @@ class ResidentPass:
     (_node_positions_device)."""
 
     def __init__(self, engine, codes, ap: P.AlnParam, sd, eps: float,
-                 ct=None, cands=None):
+                 ct=None, cand_for=None):
         self.engine = engine
         self.codes = codes
         self.ap = ap
         self.sd = sd
         self.eps = float(eps)
         self.ct = ct
-        # multi-candidate centering-bias schedule (refine=all): every
-        # merge runs len(cands) DPs and keeps the best expected-SP path
-        self.cands = tuple(float(c) for c in cands) if cands else None
+        # per-merge centering-bias candidate schedule (refinement):
+        # cand_for(task_idx) -> tuple of eps candidates.  Multi-
+        # candidate merges run len(cands) DPs and keep the best
+        # expected-SP path (trial selection on device).
+        self.cand_for = cand_for
         self.n = len(codes)
         self.lens = [len(c) for c in codes]
 
@@ -638,6 +640,7 @@ class ResidentPass:
         free_rows: List[int] = []
 
         score_stash = []     # (task_ids, device score array, B_real)
+        multi_stash = []     # (task_ids, device disagree flags, B_real)
 
         def ensure_live(min_rows, min_cap):
             nonlocal live, live_rows, live_cap, free_rows
@@ -686,12 +689,14 @@ class ResidentPass:
             buckets = {}
             for item in batch:
                 c, a, b, rn, cn, cif, eff = item
-                key = (_bucket(len_of[rn]), _bucket(len_of[cn]))
+                cands = (self.cand_for(task_index[c])
+                         if self.cand_for else (self.eps,))
+                key = (_bucket(len_of[rn]), _bucket(len_of[cn]), cands)
                 buckets.setdefault(key, []).append(item)
 
             # ---- dispatch every bucket (async) ----
             dispatched = []
-            for (L1p, L2p), items in sorted(buckets.items()):
+            for (L1p, L2p, cands), items in sorted(buckets.items()):
                 B = len(items)
                 Bp = _pow2(B)
                 S = L1p + L2p + 2
@@ -717,7 +722,6 @@ class ResidentPass:
                 sip_b_v = arr(1, np.int32)
                 base_pen = np.tile(np.array(
                     [ap.gpo, ap.gpe, ap.tgpe], np.float32), (Bp, 1))
-                eps_v = np.full(Bp, self.eps, np.float32)
 
                 for k, (c, a, b, rn, cn, cif, eff) in enumerate(items):
                     la_v[k] = len_of[rn]
@@ -799,7 +803,7 @@ class ResidentPass:
                         jnp.asarray(nsip_r[sl]), jnp.asarray(nsip_c[sl]),
                         jnp.asarray(sip_a_v[sl]), jnp.asarray(sip_b_v[sl]),
                         jnp.asarray(base_pen[sl]))
-                    if self.cands is not None:
+                    if len(cands) > 1:
                         # per-side gap counts from the resident state
                         # feed the on-device SP trial selection
                         rs2, rn2, _ = members(3)
@@ -815,16 +819,21 @@ class ResidentPass:
                         gaps_c = (jnp.asarray(nsip_c[sl])[:, None]
                                   - res_c).astype(jnp.int32)
                         eps_k = jnp.asarray(np.tile(
-                            np.asarray(self.cands, np.float32), (Bc, 1)))
+                            np.asarray(cands, np.float32), (Bc, 1)))
                         out = _bucket_step_refine(
                             *common, eps_k, gaps_r, gaps_c,
-                            L1p=L1p, L2p=L2p, S=S, K=len(self.cands),
+                            L1p=L1p, L2p=L2p, S=S, K=len(cands),
                             use_pallas=use_pallas,
                             bt=min(bt, hi - lo), R=R, bonus=bonus)
+                        if citems:
+                            multi_stash.append(
+                                ([task_index[it[0]] for it in citems],
+                                 out[6], len(citems)))
                         outs.append(out[:6])
                     else:
+                        eps_c = np.full(Bc, cands[0], np.float32)
                         outs.append(_bucket_step(
-                            *common, jnp.asarray(eps_v[sl]),
+                            *common, jnp.asarray(eps_c),
                             L1p=L1p, L2p=L2p, S=S, use_pallas=use_pallas,
                             bt=min(bt, hi - lo), R=R, bonus=bonus))
                 # keep per-chunk outputs (concatenating the merged
@@ -914,13 +923,20 @@ class ResidentPass:
 
         # ---- final transfers: gap state + stashed scores, packed so
         # the tunnel pays two round trips total ----
+        disagree = np.zeros(n - 1, dtype=bool)
         score_parts = [s[1] for s in score_stash]
+        multi_parts = [m[1] for m in multi_stash]
+        packed_multi = jnp.concatenate(multi_parts) if multi_parts \
+            else jnp.zeros((0,), jnp.bool_)
         sizes = [p.shape[0] for p in score_parts]
+        msizes = [p.shape[0] for p in multi_parts]
         packed_scores = jnp.concatenate(score_parts) if score_parts \
             else jnp.zeros((0,), jnp.float32)
-        gaps_h, scores_h = jax.device_get((gaps_buf, packed_scores))
+        gaps_h, scores_h, multi_h = jax.device_get(
+            (gaps_buf, packed_scores, packed_multi))
         gaps_h = np.asarray(gaps_h)
         scores_h = np.asarray(scores_h)
+        multi_h = np.asarray(multi_h)
         gaps = [gaps_h[i, :lens[i] + 1].tolist() for i in range(n)]
         off = 0
         for (task_ids, _, Breal), sz in zip(score_stash, sizes):
@@ -928,4 +944,10 @@ class ResidentPass:
             off += sz
             for j, tid in enumerate(task_ids):
                 conf[tid] = sc[j]
-        return gaps, conf
+        off = 0
+        for (task_ids, _, Breal), sz in zip(multi_stash, msizes):
+            mu = multi_h[off:off + sz]
+            off += sz
+            for j, tid in enumerate(task_ids):
+                disagree[tid] = bool(mu[j])
+        return gaps, conf, disagree

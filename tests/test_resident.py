@@ -314,11 +314,14 @@ def test_node_gap_counts_device_matches_host(monkeypatch):
 
 
 @pytest.mark.parametrize("case", ["BB11001", "BB12006"])
-def test_resident_refine_all_matches_host_assembled(case, monkeypatch):
-    """refine=all through the multi-candidate resident pass vs the
-    host-assembled path.  Candidate selection compares SP in f32 on
-    device vs float64 on host, so assert alignment equality (no ties on
-    these families) — if this ever flakes on a near-tie, compare SP."""
+@pytest.mark.parametrize("refine_name", ["all", "confident"])
+def test_resident_refine_matches_host_assembled(refine_name, case,
+                                                monkeypatch):
+    """refine=all/confident through the multi-candidate resident pass
+    vs the host-assembled path.  Candidate selection compares SP in f32
+    on device vs float64 on host, so assert alignment equality (no ties
+    on these families) — if this ever flakes on a near-tie, compare
+    SP."""
     from kalign_tpu.core import io as kio
     from kalign_tpu.core import params as P
     from kalign_tpu import engine as E
@@ -332,7 +335,9 @@ def test_resident_refine_all_matches_host_assembled(case, monkeypatch):
             monkeypatch.setenv("KALIGN_TPU_NO_RESIDENT", "1")
         m = kio.read_alignment(os.path.join(DATA, case + ".tfa"))
         m.quiet = True
+        mode = (P.REFINE_ALL if refine_name == "all"
+                else P.REFINE_CONFIDENT)
         out = E.align_msa(m, consistency_anchors=0, engine="tpu-fast",
-                          refine=P.REFINE_ALL)
+                          refine=mode)
         outs[resident] = kio.write_fasta(out)
     assert outs[True] == outs[False]
