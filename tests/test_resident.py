@@ -341,3 +341,26 @@ def test_resident_refine_matches_host_assembled(refine_name, case,
                           refine=mode)
         outs[resident] = kio.write_fasta(out)
     assert outs[True] == outs[False]
+
+
+@pytest.mark.slow
+def test_resident_refine_with_consistency_matches_host_assembled(
+        monkeypatch):
+    """refine=confident + default consistency (K=5): the resident pass
+    must thread consistency bonuses through BOTH the probe and the
+    targeted-replay passes identically to the host-assembled path."""
+    from conftest import DATA
+    from kalign_tpu.core import io as kio
+    from kalign_tpu.core import params as P
+    from kalign_tpu import engine as E
+
+    outs = {}
+    for resident in (True, False):
+        monkeypatch.delenv("KALIGN_TPU_NO_RESIDENT", raising=False)
+        if not resident:
+            monkeypatch.setenv("KALIGN_TPU_NO_RESIDENT", "1")
+        m = kio.read_alignment(os.path.join(DATA, "BB11001.tfa"))
+        m.quiet = True
+        out = E.align_msa(m, engine="tpu-fast", refine=P.REFINE_CONFIDENT)
+        outs[resident] = kio.write_fasta(out)
+    assert outs[True] == outs[False]
