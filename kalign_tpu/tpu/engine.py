@@ -189,7 +189,15 @@ class TpuEngine:
         if want == "0":
             use_device = False
         if use_device:
-            from kalign_tpu.tpu.kmeans import build_tree_device
+            from kalign_tpu.tpu.kmeans import (build_tree_device,
+                                               build_tree_device_fused)
+            # fused = the whole recursion in ONE program (one dispatch,
+            # one fetch); per-depth path kept as the fallback for
+            # pathologically deep splits and as an opt-out
+            if os.environ.get("KALIGN_TPU_TREE") != "bucketed":
+                res = build_tree_device_fused(self, codes, dm, n_anchors)
+                if res is not None:
+                    return res
             return build_tree_device(self, codes, dm, n_anchors)
         return self.host.build_tree(codes, dm, n_anchors)
 

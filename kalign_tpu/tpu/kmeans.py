@@ -227,6 +227,17 @@ def build_tree_device(engine, codes, dm: np.ndarray, n_anchors: int):
     if detail:
         from kalign_tpu.utils.logging import log
         log(f"    kmeans splits (device) {t1 - t0:.2f} s")
+    return _finish_tree(engine, codes, dm, n_anchors, root, upgma_jobs,
+                        emb, lens, detail, t1)
+
+
+def _finish_tree(engine, codes, dm, n_anchors, root, upgma_jobs, emb,
+                 lens, detail, t1):
+    """Shared tree-assembly tail: exact native UPGMA below the
+    threshold, postorder labeling, preorder task emission, and the
+    per-seq normalized mean anchor distance."""
+    import time as _time
+    n = len(codes)
     # exact native UPGMA below the threshold (pairwise BPM distances)
     for node, s in upgma_jobs:
         if len(s) == 1:
@@ -296,3 +307,223 @@ def build_tree_device(engine, codes, dm: np.ndarray, n_anchors: int):
     seq_dist = np.where(lens > 0, mean / lens.astype(np.float32),
                         0.0).astype(np.float32)
     return tasks, seq_dist
+
+
+# ---------------------------------------------------------------------------
+# Fused whole-recursion k-means: ONE device program for the entire
+# bisecting recursion
+# ---------------------------------------------------------------------------
+
+_PAD_CID = np.int32(1 << 28)   # sorts after every real path code
+_FUSED_DEPTH_CAP = 24          # path codes stay < 2^25 (int32-safe)
+
+
+@functools.partial(jax.jit, static_argnames=("Np", "T", "Dmax", "Ca"))
+def _fused_splits(emb, n, Np, T, Dmax, Ca):
+    """The ENTIRE bisecting-k-means recursion as one XLA program.
+
+    The per-depth variant (build_tree_device) pays one device->host
+    round trip per (depth, size-bucket) to regroup clusters — ~20 s of
+    the 16k guide-tree build through a high-latency transport.  Here
+    cluster membership lives on device as binary-path codes
+    (root = 1, child = 2*code + side), each depth is one pass of
+    sort-by-code + segment-sum Lloyd over ALL active clusters in
+    lockstep, and the host sees exactly ONE fetch of the final codes.
+
+    emb [Np, D] f32 (rows >= n zero-padded), n = real sample count.
+    Returns (cid [Np] int32 path codes, active_left bool — True when a
+    cluster still >= UPGMA_THRESHOLD at the depth cap; the caller then
+    falls back to the per-depth path).
+
+    Split semantics match _lloyd_batch per cluster: 40 seed tries
+    (every (size//40)-th member in cluster order; member order is
+    ascending original index at every depth, like the host recursion's
+    stable partitions), mean-reflection second centroid, sqrt-scale
+    epsilon compare with parity tie alternation, per-dimension epsilon
+    convergence with the 500-iteration cap, earliest-best-try by SSE,
+    and the middle-split fallback for degenerate tries
+    (bisectingKmeans.c:318-363,766-971).  Float summation order differs
+    from both the native code and the per-depth einsum batching
+    (segment-sums here), so near-tie assignments may legitimately
+    differ between the two device paths."""
+    THR = UPGMA_THRESHOLD
+    iota = jnp.arange(Np, dtype=jnp.int32)
+    cid0 = jnp.where(iota < n, jnp.int32(1), _PAD_CID)
+    done0 = iota >= n
+
+    def depth_body(state):
+        cid, done, depth = state
+        cid_s, sidx = jax.lax.sort((cid, iota), num_keys=1,
+                                   is_stable=True)
+        rows = jnp.take(emb, sidx, axis=0)                   # [Np, D]
+        done_s = jnp.take(done, sidx)
+        flag = jnp.concatenate([jnp.ones((1,), bool),
+                                cid_s[1:] != cid_s[:-1]])
+        start = jax.lax.cummax(jnp.where(flag, iota, 0))
+        rank = iota - start
+        vals = jnp.where(flag, iota, Np)
+        shifted = jnp.concatenate([vals[1:],
+                                   jnp.full((1,), Np, jnp.int32)])
+        nxt = jnp.flip(jax.lax.cummin(jnp.flip(shifted)))
+        size = nxt - start
+        act = (size >= THR) & ~done_s
+        done_s_new = done_s | (size < THR)
+
+        is_astart = flag & act
+        aslot_raw = jnp.cumsum(is_astart.astype(jnp.int32)) - 1
+        aslot = jnp.where(act, aslot_raw, Ca)                # sentinel Ca
+        n_act = jnp.sum(is_astart)
+        slot_ids = jnp.where(is_astart, aslot_raw, Ca)
+        st_a = jnp.zeros((Ca + 1,), jnp.int32).at[slot_ids].set(
+            jnp.where(is_astart, start, 0), mode="drop")
+        size_a = jnp.zeros((Ca + 1,), jnp.int32).at[slot_ids].set(
+            jnp.where(is_astart, size, 0), mode="drop")
+
+        sq_rows = jnp.sum(rows * rows, axis=1)               # [Np]
+        step_a = jnp.maximum(size_a // T, 0)
+        seed_pos = jnp.clip(
+            st_a[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+            * step_a[:, None], 0, Np - 1)                    # [Ca+1, T]
+        cl0 = jnp.take(rows, seed_pos.reshape(-1), axis=0) \
+            .reshape(Ca + 1, T, rows.shape[1])
+        count_a = jnp.maximum(size_a.astype(jnp.float32), 1.0)
+        mean_a = jax.ops.segment_sum(
+            jnp.where(act[:, None], rows, 0.0), aslot,
+            num_segments=Ca + 1) / count_a[:, None]
+        cr0 = 2.0 * mean_a[:, None, :] - cl0
+        parity1 = (rank & 1) == 1                            # [Np]
+
+        def dist_to(c):
+            c_s = jnp.take(c, jnp.clip(aslot, 0, Ca), axis=0)  # [Np,T,D]
+            xc = jnp.einsum("nd,ntd->nt", rows, c_s,
+                            preferred_element_type=jnp.float32)
+            d2 = sq_rows[:, None] - 2.0 * xc + jnp.sum(c_s * c_s, axis=2)
+            return jnp.sqrt(jnp.maximum(d2, 0.0))            # [Np, T]
+
+        def lbody(lstate):
+            cl, cr, _, _, _, still, it = lstate
+            dl = dist_to(cl)
+            dr = dist_to(cr)
+            diff = dr - dl
+            tie = jnp.abs(diff) < EPS
+            right = jnp.where(tie, parity1[:, None], diff < 0.0) \
+                & act[:, None]                               # [Np, T]
+            left = (~right) & act[:, None]
+            mind = jnp.where(act[:, None], jnp.minimum(dl, dr), 0.0)
+            score = jax.ops.segment_sum(mind, aslot,
+                                        num_segments=Ca + 1)  # [Ca+1,T]
+            num_r = jax.ops.segment_sum(right.astype(jnp.float32),
+                                        aslot, num_segments=Ca + 1)
+            num_l = jax.ops.segment_sum(left.astype(jnp.float32),
+                                        aslot, num_segments=Ca + 1)
+            degen = (num_l == 0.0) | (num_r == 0.0)
+            wl = jax.ops.segment_sum(
+                rows[:, None, :] * left[:, :, None].astype(jnp.float32),
+                aslot, num_segments=Ca + 1) \
+                / jnp.maximum(num_l, 1.0)[:, :, None]
+            wr = jax.ops.segment_sum(
+                rows[:, None, :] * right[:, :, None].astype(jnp.float32),
+                aslot, num_segments=Ca + 1) \
+                / jnp.maximum(num_r, 1.0)[:, :, None]
+            moved = jnp.any((jnp.abs(wl - cl) >= EPS)
+                            | (jnp.abs(wr - cr) >= EPS), axis=2)
+            still_new = still & moved & ~degen & (it + 1 < MAX_ITERS)
+            cl_n = jnp.where(still_new[:, :, None], wl, cl)
+            cr_n = jnp.where(still_new[:, :, None], wr, cr)
+            return (cl_n, cr_n, right, score, degen, still_new, it + 1)
+
+        slot_active = jnp.arange(Ca + 1)[:, None] < n_act     # [Ca+1, 1]
+        linit = (cl0, cr0, jnp.zeros((Np, T), bool),
+                 jnp.full((Ca + 1, T), jnp.float32(3.4e38)),
+                 jnp.zeros((Ca + 1, T), bool),
+                 jnp.broadcast_to(slot_active, (Ca + 1, T)),
+                 jnp.int32(0))
+        lstate = lbody(linit)
+        lstate = jax.lax.while_loop(lambda s: jnp.any(s[5]), lbody,
+                                    lstate)
+        _, _, right, score, degen, _, _ = lstate
+
+        t_best = jnp.argmin(score, axis=1)                    # [Ca+1]
+        tb_s = jnp.take(t_best, jnp.clip(aslot, 0, Ca))       # [Np]
+        r_best = jnp.take_along_axis(right, tb_s[:, None],
+                                     axis=1)[:, 0]
+        deg_best = degen[jnp.clip(aslot, 0, Ca), tb_s]        # [Np]
+        side = jnp.where(deg_best, rank >= (size // 2), r_best)
+        cid_s_new = jnp.where(
+            act, 2 * cid_s + side.astype(jnp.int32), cid_s)
+        cid_next = jnp.zeros_like(cid).at[sidx].set(cid_s_new)
+        done_next = jnp.zeros_like(done).at[sidx].set(done_s_new)
+        return (cid_next, done_next, depth + 1)
+
+    def depth_cond(state):
+        _, done, depth = state
+        return jnp.any(~done) & (depth < Dmax)
+
+    cid, done, _ = jax.lax.while_loop(depth_cond, depth_body,
+                                      (cid0, done0, jnp.int32(0)))
+    return cid, jnp.any(~done)
+
+
+def build_tree_device_fused(engine, codes, dm: np.ndarray,
+                            n_anchors: int):
+    """build_tree via _fused_splits: one dispatch + one fetch for the
+    whole k-means recursion.  Returns (tasks, seq_dist), or None when
+    the depth cap was hit (pathologically unbalanced splits) — the
+    caller falls back to the per-depth build_tree_device."""
+    import os
+    import time as _time
+    detail = bool(os.environ.get("KALIGN_TPU_TIMING_DETAIL"))
+    t0 = _time.time()
+    n = len(codes)
+    emb = np.ascontiguousarray(dm[:, :n_anchors].astype(np.float32))
+    lens = np.array([len(c) for c in codes], np.int64)
+    Np = _pow2_at_least(n)
+    emb_pad = np.zeros((Np, n_anchors), np.float32)
+    emb_pad[:n] = emb
+    Ca = Np // UPGMA_THRESHOLD + 1
+    cid_d, left_d = _fused_splits(jnp.asarray(emb_pad), jnp.int32(n),
+                                  Np=Np, T=MAX_TRIES,
+                                  Dmax=_FUSED_DEPTH_CAP, Ca=Ca)
+    cid_h, active_left = jax.device_get((cid_d, left_d))   # ONE fetch
+    if bool(active_left):
+        return None
+    cid_h = np.asarray(cid_h)[:n]
+
+    # rebuild the split trie from the path codes (child 2c = left,
+    # 2c+1 = right); run members are ascending original index, like the
+    # host recursion's stable partitions
+    order = np.lexsort((np.arange(n), cid_h))
+    sorted_cid = cid_h[order]
+    bounds = np.flatnonzero(np.diff(sorted_cid)) + 1
+    runs = np.split(order, bounds)
+    root = _Node()
+    upgma_jobs = []
+    for members in runs:
+        c = int(cid_h[members[0]])
+        path = []
+        cc = c
+        while cc != 1:
+            path.append(cc)
+            cc >>= 1
+        node = root
+        for cc in reversed(path):
+            if node.left is None:
+                node.left = _Node()
+                node.right = _Node()
+            node = node.left if (cc & 1) == 0 else node.right
+        upgma_jobs.append((node, members.astype(np.int64)))
+
+    t1 = _time.time()
+    if detail:
+        from kalign_tpu.utils.logging import log
+        log(f"    kmeans splits (device, fused) {t1 - t0:.2f} s "
+            f"({len(runs)} clusters)")
+    return _finish_tree(engine, codes, dm, n_anchors, root, upgma_jobs,
+                        emb, lens, detail, t1)
+
+
+def _pow2_at_least(n: int) -> int:
+    p = 64
+    while p < n:
+        p *= 2
+    return p

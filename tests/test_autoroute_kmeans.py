@@ -139,3 +139,126 @@ def test_device_tree_structure_valid_at_scale():
         used.update((int(a), int(b)))
         seen.add(int(c))
     assert len(used) == 2 * n - 2
+
+
+def _valid_merge_order(tasks, n):
+    assert tasks.shape == (n - 1, 3)
+    cs = sorted(int(c) for _, _, c in tasks)
+    assert cs == list(range(n, 2 * n - 1))
+    seen = set(range(n))
+    used = set()
+    for a, b, c in sorted(tasks, key=lambda t: t[2]):
+        assert int(a) in seen and int(b) in seen
+        assert int(a) not in used and int(b) not in used
+        used.update((int(a), int(b)))
+        seen.add(int(c))
+    assert len(used) == 2 * n - 2
+
+
+def _dssim_tree_inputs(n_seq, length, seed, dna=True):
+    from kalign_tpu.dssim import generate_test_sequences
+    from kalign_tpu.core.msa import Msa
+    from kalign_tpu import engine as EE
+    from kalign_tpu.core import alphabet as alpha
+    from kalign_tpu.engine import HostEngine, pick_anchors
+
+    seqs, names = generate_test_sequences(n_seq=n_seq, length=length,
+                                          seed=seed, dna=dna)
+    m = Msa.from_sequences(seqs, names)
+    m.quiet = True
+    m.essential_input_check()
+    m.dealign()
+    m.sort_len_name()
+    ab = (alpha.ALPHA_DEFAULT_DNA if dna else alpha.ALPHA_REDUCED_PROTEIN)
+    codes = EE._encoded(m, ab)
+    anchors = pick_anchors(m)
+    dm = HostEngine(1).anchor_distances(codes, anchors)
+    return codes, dm, len(anchors)
+
+
+def test_fused_tree_matches_bucketed_small():
+    """The fused whole-recursion program and the per-depth bucketed
+    path replicate the same split semantics; at this size (wide SSE
+    margins, tiny summation-order noise) they produce the IDENTICAL
+    tree.  At larger n a handful of near-EPS assignments may flip
+    (float reassociation) — that divergence class is asserted bounded
+    by test_fused_depth0_agreement instead."""
+    from kalign_tpu.tpu.engine import TpuEngine
+    from kalign_tpu.tpu.kmeans import (build_tree_device,
+                                       build_tree_device_fused)
+
+    codes, dm, na = _dssim_tree_inputs(600, 120, seed=7)
+    eng = TpuEngine(1)
+    tb, sdb = build_tree_device(eng, codes, dm, na)
+    res = build_tree_device_fused(eng, codes, dm, na)
+    assert res is not None
+    tf, sdf = res
+    assert np.array_equal(sdb, sdf)
+    assert np.array_equal(tb, tf)
+    _valid_merge_order(tf, len(codes))
+
+
+def test_fused_depth0_agreement():
+    """The fused program's first split must agree with the bucketed
+    single-cluster split on essentially every sample (disagreements
+    only at near-EPS distance ties flipped by summation order)."""
+    import jax.numpy as jnp
+    from kalign_tpu.tpu import kmeans as K
+
+    codes, dm, na = _dssim_tree_inputs(1024, 100, seed=11)
+    emb = np.ascontiguousarray(dm[:, :na].astype(np.float32))
+    nn = len(codes)
+    T = K.MAX_TRIES
+    S = 2048
+    idx = np.zeros((1, S), np.int32)
+    idx[0, :nn] = np.arange(nn)
+    valid = np.zeros((1, S), bool)
+    valid[0, :nn] = True
+    parity = np.zeros((1, S), np.int32)
+    parity[0, :nn] = np.arange(nn) & 1
+    seeds = np.zeros((1, T), np.int32)
+    seeds[0] = np.arange(T) * (nn // T)
+    ab, _ = K._lloyd_batch(jnp.asarray(emb), jnp.asarray(idx),
+                           jnp.asarray(valid), jnp.asarray(parity),
+                           jnp.asarray(seeds),
+                           jnp.asarray(np.array([T], np.int32)), T=T)
+    ab = np.asarray(ab)[0, :nn]
+
+    Np = K._pow2_at_least(nn)
+    embp = np.zeros((Np, emb.shape[1]), np.float32)
+    embp[:nn] = emb
+    Ca = Np // K.UPGMA_THRESHOLD + 1
+    cid, _ = K._fused_splits(jnp.asarray(embp), jnp.int32(nn), Np=Np,
+                             T=T, Dmax=1, Ca=Ca)
+    af = (np.asarray(cid)[:nn] & 1).astype(np.int8)
+    assert np.mean(ab == af) > 0.99
+
+
+def test_fused_depth_cap_falls_back(monkeypatch):
+    """A depth-capped fused run returns None and engine.build_tree
+    falls back to the per-depth path (still a valid tree)."""
+    from kalign_tpu.tpu import kmeans as K
+    from kalign_tpu.tpu.engine import TpuEngine
+
+    codes, dm, na = _dssim_tree_inputs(300, 80, seed=3)
+    eng = TpuEngine(1)
+    monkeypatch.setattr(K, "_FUSED_DEPTH_CAP", 0)
+    assert K.build_tree_device_fused(eng, codes, dm, na) is None
+    monkeypatch.setenv("KALIGN_TPU_DEVICE_TREE", "1")
+    tasks, _ = eng.build_tree(codes, dm, na)
+    _valid_merge_order(np.asarray(tasks), len(codes))
+
+
+@pytest.mark.slow
+def test_fused_tree_structure_valid_at_scale():
+    """~3000 sequences through the fused whole-recursion program: the
+    task list must be a valid full binary merge order."""
+    from kalign_tpu.tpu.engine import TpuEngine
+    from kalign_tpu.tpu.kmeans import build_tree_device_fused
+
+    codes, dm, na = _dssim_tree_inputs(3000, 60, seed=11, dna=False)
+    res = build_tree_device_fused(TpuEngine(1), codes, dm, na)
+    assert res is not None
+    tasks, seq_dist = res
+    _valid_merge_order(tasks, len(codes))
+    assert len(seq_dist) == len(codes) and np.all(seq_dist >= 0)
