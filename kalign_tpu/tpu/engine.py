@@ -68,9 +68,9 @@ def _batched_matmul(lhs, rhs):
 
 
 @functools.partial(jax.jit, static_argnames=("bt", "rows_per_step",
-                                             "with_dec"))
+                                             "with_dec", "use_pallas"))
 def _fused_forward(lhs, rhs, pc, pr, la, lb, bias_eps, bonus, bt,
-                   rows_per_step, with_dec):
+                   rows_per_step, with_dec, use_pallas=True):
     """Device-resident bucket step: batched MXU matmul -> optional
     consistency bonus -> Pallas forward with the centering bias fused
     into the kernel's match-row read (saves a full elementwise pass
@@ -111,10 +111,56 @@ def _fused_forward(lhs, rhs, pc, pr, la, lb, bias_eps, bonus, bt,
             match = match + bonus
         slope = jnp.zeros_like(slope)
         bias_eps = jnp.zeros_like(bias_eps)
-    return gotoh_forward_pallas(match, pc, pr, la, lb, bt=bt,
-                                rows_per_step=rows_per_step,
-                                with_dec=with_dec,
-                                slope=slope, bias_eps=bias_eps)
+    if use_pallas:
+        return gotoh_forward_pallas(match, pc, pr, la, lb, bt=bt,
+                                    rows_per_step=rows_per_step,
+                                    with_dec=with_dec,
+                                    slope=slope, bias_eps=bias_eps)
+    # XLA fallback (CPU tests / non-pallas backends): explicit bias,
+    # vmapped scan forward, dec trimmed to the compact Pallas layout
+    # (row r = DP row r+1) that traceback_packed expects
+    B, L1p, L2p = match.shape
+    ii = jnp.arange(1, L1p + 1, dtype=jnp.float32)[None, :, None]
+    jj = jnp.arange(1, L2p + 1, dtype=jnp.float32)[None, None, :]
+    dev2 = jnp.abs(jj - ii * slope[:, None, None])
+    match = match - dev2 * bias_eps[:, None, None]
+    dec, score, st = jax.vmap(
+        lambda m, c, r, a, b: gotoh.gotoh_forward(
+            m, c[0], c[1], c[2], r[0], r[1], r[2], a, b)
+    )(match, pc, pr, la, lb)
+    return dec[:, 1:, 1:], score, st
+
+
+@functools.partial(jax.jit, static_argnames=("L1p", "L2p"))
+def _leaf_assemble(tok, subm, penv, rows_idx, cols_idx, la, lb, L1p, L2p):
+    """Leaf seq x seq operand assembly ON DEVICE from the resident
+    token table: one-hot counts (lhs), substitution rows (rhs), and
+    masked penalty vectors — every op an exact select/copy of the same
+    constants the host assembly uses (_dp_leaf_batch), so results are
+    bitwise-identical; only int32 index vectors travel per dispatch."""
+    B = rows_idx.shape[0]
+    Lt = tok.shape[1]
+    Lr = min(L1p, Lt)
+    Lc = min(L2p, Lt)
+    rt = jnp.take(tok, rows_idx, axis=0)[:, :Lr]        # [B, Lr] uint8
+    ct = jnp.take(tok, cols_idx, axis=0)[:, :Lc]
+    pos_r = jnp.arange(Lr)[None, :]
+    pos_c = jnp.arange(Lc)[None, :]
+    valid_r = (pos_r < la[:, None])[:, :, None]
+    valid_c = (pos_c < lb[:, None])[:, :, None]
+    lhs = jnp.zeros((B, L1p, 23), jnp.float32).at[:, :Lr].set(
+        ((rt[:, :, None] == jnp.arange(23, dtype=tok.dtype)[None, None, :])
+         & valid_r).astype(jnp.float32))
+    rhs = jnp.zeros((B, L2p, 23), jnp.float32).at[:, :Lc].set(
+        jnp.take(subm, ct.astype(jnp.int32), axis=0)
+        * valid_c.astype(jnp.float32))
+    colsv = jnp.arange(L2p + 1)[None, :]
+    pc = jnp.where((colsv >= 1) & (colsv <= lb[:, None]),
+                   1.0, 0.0)[:, None, :] * penv[None, :, None]
+    rowsv = jnp.arange(L1p + 1)[None, :]
+    pr = jnp.where((rowsv >= 1) & (rowsv <= la[:, None]),
+                   1.0, 0.0)[:, None, :] * penv[None, :, None]
+    return lhs, rhs, pc.astype(jnp.float32), pr.astype(jnp.float32)
 
 
 class TpuEngine:
@@ -830,8 +876,12 @@ class TpuEngine:
         anchor_consistency.c:246-267).  Assembly is fully vectorized —
         leaf profiles are one-hot counts / subm rows / constant
         penalties, so each bucket builds with fancy indexing instead of
-        a per-pair python loop.  Returns a list of step arrays in input
-        order."""
+        a per-pair python loop.  On the Pallas path the token table
+        uploads ONCE and operands assemble ON DEVICE from int32 index
+        vectors (bitwise-identical one-hot/gather/mask ops) — at 10^5
+        sequences the host assembly of N*K one-hot matrices is tens of
+        GB of allocation + transfer.  Returns a list of step arrays in
+        input order."""
         lens = np.array([len(c) for c in codes], np.int32)
         Lmax = int(lens.max())
         pad = np.zeros((len(codes), Lmax), np.uint8)
@@ -845,6 +895,12 @@ class TpuEngine:
             key = (_bucket(lens[ri]), _bucket(lens[ci]))
             buckets.setdefault(key, []).append((idx, ri, ci))
         out: List[Optional[np.ndarray]] = [None] * len(pairs)
+        import os
+        if self.use_pallas or os.environ.get("KALIGN_TPU_LEAF_DEVICE"):
+            done = self._dp_leaf_batch_device(pad, lens, subm, penv,
+                                              buckets, out)
+            if done:
+                return out
         for (L1p, L2p), items in buckets.items():
             rows = np.array([r for _, r, _ in items], np.int32)
             cols = np.array([c for _, _, c in items], np.int32)
@@ -875,6 +931,71 @@ class TpuEngine:
             for k, (idx, _, _) in enumerate(items):
                 out[idx] = np.asarray(steps_list[k], np.int8)
         return out
+
+    def _dp_leaf_batch_device(self, pad, lens, subm, penv, buckets, out):
+        """Device-side assembly for _dp_leaf_batch: upload the token
+        table once, ship only int32 index vectors per launch chunk,
+        assemble one-hot / subm-gathered operands in-program
+        (_leaf_assemble — bitwise-identical to the host assembly), run
+        the fused forward + packed traceback, and fetch every chunk in
+        ONE batched transfer.  Returns False if any bucket is
+        VMEM-infeasible (caller keeps the host path)."""
+        from kalign_tpu.tpu.gotoh_pallas import pick_plan
+        from kalign_tpu.tpu.traceback import traceback_packed
+
+        plans = {}
+        for (L1p, L2p), items in buckets.items():
+            if not self.use_pallas:
+                plans[(L1p, L2p)] = (8, 8)
+                continue
+            Bp0 = _pow2_batch(min(len(items), self._max_launch(L1p, L2p)))
+            bt, R, feasible = pick_plan(Bp0, L2p)
+            if not feasible:
+                return False
+            plans[(L1p, L2p)] = (min(bt, Bp0), R)
+
+        tok_dev = jnp.asarray(pad)
+        lens_dev = jnp.asarray(lens)
+        subm_dev = jnp.asarray(subm)
+        penv_dev = jnp.asarray(penv)
+
+        dispatched = []
+        for (L1p, L2p), items in sorted(buckets.items()):
+            bt, R = plans[(L1p, L2p)]
+            cap = self._max_launch(L1p, L2p)
+            for lo in range(0, len(items), cap):
+                chunk = items[lo:lo + cap]
+                Bc = len(chunk)
+                Bp = _pow2_batch(Bc)
+                rows = np.zeros(Bp, np.int32)
+                cols = np.zeros(Bp, np.int32)
+                la = np.full(Bp, 8, np.int32)
+                lb = np.full(Bp, 8, np.int32)
+                for k, (idx, ri, ci) in enumerate(chunk):
+                    rows[k] = ri
+                    cols[k] = ci
+                    la[k] = lens[ri]
+                    lb[k] = lens[ci]
+                la_d = jnp.asarray(la)
+                lb_d = jnp.asarray(lb)
+                lhs, rhs, pc, pr = _leaf_assemble(
+                    tok_dev, subm_dev, penv_dev, jnp.asarray(rows),
+                    jnp.asarray(cols), la_d, lb_d, L1p=L1p, L2p=L2p)
+                eps = jnp.full((Bp,), self.MAP_EPS, jnp.float32)
+                dec, score, st = _fused_forward(
+                    lhs, rhs, pc, pr, la_d, lb_d, eps, None, bt, R, True,
+                    use_pallas=self.use_pallas)
+                packed = traceback_packed(dec, la_d, lb_d, st, score,
+                                          L1p + L2p + 2)
+                dispatched.append(
+                    (chunk, ("packed", packed, L1p + L2p + 2, Bc)))
+
+        handles = self._prefetch_handles([d[1] for d in dispatched])
+        for (chunk, _), handle in zip(dispatched, handles):
+            steps_list, _ = self._collect_bucket(handle)
+            for k, (idx, _, _) in enumerate(chunk):
+                out[idx] = np.asarray(steps_list[k], np.int8)
+        return True
 
     # single-problem helper used by consistency map building
     def _dp(self, prof_rows: Profile, prof_cols: Profile, nsip_rows: int,

@@ -176,3 +176,64 @@ def test_device_anchor_distances_bit_exact():
     assert d_dev.shape == d_host.shape
     assert np.array_equal(d_dev, d_host), \
         np.argwhere(d_dev != d_host)[:5]
+
+
+def test_leaf_assemble_bitwise_matches_host():
+    """Device-side leaf operand assembly (_leaf_assemble) must be
+    BITWISE identical to the host assembly in _dp_leaf_batch — the
+    device path ships only int32 index vectors at 10^5 scale, and byte
+    parity of consistency maps depends on the operands being the same
+    bits."""
+    import jax.numpy as jnp
+    from kalign_tpu.tpu.engine import _leaf_assemble
+
+    rng = np.random.default_rng(0)
+    n, Lmax, B = 50, 137, 16
+    lens = rng.integers(20, Lmax + 1, size=n).astype(np.int32)
+    pad = np.zeros((n, Lmax), np.uint8)
+    for i in range(n):
+        pad[i, :lens[i]] = rng.integers(0, 23, size=lens[i])
+    subm = rng.normal(size=(23, 23)).astype(np.float32)
+    penv = np.array([-5.5, -2.0, -1.0], np.float32)
+    rows = rng.integers(0, n, size=B).astype(np.int32)
+    cols = rng.integers(0, n, size=B).astype(np.int32)
+    la, lb = lens[rows], lens[cols]
+    L1p = L2p = 256
+    got = _leaf_assemble(jnp.asarray(pad), jnp.asarray(subm),
+                         jnp.asarray(penv), jnp.asarray(rows),
+                         jnp.asarray(cols), jnp.asarray(la),
+                         jnp.asarray(lb), L1p=L1p, L2p=L2p)
+    Lr, Lc = min(L1p, Lmax), min(L2p, Lmax)
+    valid_r = (np.arange(Lr)[None, :] < la[:, None])[:, :, None]
+    valid_c = (np.arange(Lc)[None, :] < lb[:, None])[:, :, None]
+    lhs = np.zeros((B, L1p, 23), np.float32)
+    lhs[:, :Lr] = (pad[rows, :Lr, None] ==
+                   np.arange(23)[None, None, :]) * valid_r
+    rhs = np.zeros((B, L2p, 23), np.float32)
+    rhs[:, :Lc] = subm[pad[cols, :Lc]] * valid_c
+    colsv = np.arange(L2p + 1)[None, :]
+    pc = np.where((colsv >= 1) & (colsv <= lb[:, None]),
+                  1.0, 0.0)[:, None, :] * penv[None, :, None]
+    rowsv = np.arange(L1p + 1)[None, :]
+    pr = np.where((rowsv >= 1) & (rowsv <= la[:, None]),
+                  1.0, 0.0)[:, None, :] * penv[None, :, None]
+    for name, d, h in (("lhs", got[0], lhs), ("rhs", got[1], rhs),
+                       ("pc", got[2], pc.astype(np.float32)),
+                       ("pr", got[3], pr.astype(np.float32))):
+        assert np.array_equal(np.asarray(d), h), name
+
+
+def test_consistency_leaf_device_assembly_byte_parity(monkeypatch):
+    """Default-mode alignment with the device-assembled consistency
+    pairwise batch (KALIGN_TPU_LEAF_DEVICE=1 forces it on the XLA
+    backend) must be byte-identical to the host-assembled path."""
+    outs = {}
+    for flag in (False, True):
+        monkeypatch.delenv("KALIGN_TPU_LEAF_DEVICE", raising=False)
+        if flag:
+            monkeypatch.setenv("KALIGN_TPU_LEAF_DEVICE", "1")
+        m = kio.read_alignment(os.path.join(DATA, "BB12006.tfa"))
+        m.quiet = True
+        out = E.align_msa(m, engine="tpu-fast")
+        outs[flag] = kio.write_fasta(out)
+    assert outs[True] == outs[False]
