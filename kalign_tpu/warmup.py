@@ -29,14 +29,45 @@ import time
 DEFAULT_SIZES = [(16, 120), (64, 200), (256, 200)]
 
 
+DEFAULT_TREE_NP = (2048, 16384, 131072)
+
+
+def warmup_tree_programs(np_buckets=DEFAULT_TREE_NP, quiet=False):
+    """Compile-only seeding of the fused guide-tree program for the
+    padded sizes big inputs hit (the device tree engages at >= 2048
+    sequences, far above the alignment warmup sizes).  AOT
+    lower+compile writes the persistent cache without executing the
+    recursion."""
+    import jax
+    import jax.numpy as jnp
+    from kalign_tpu.tpu.kmeans import (_fused_splits, UPGMA_THRESHOLD,
+                                       MAX_TRIES, _FUSED_DEPTH_CAP)
+    for Np in np_buckets:
+        t0 = time.time()
+        try:
+            _fused_splits.lower(
+                jax.ShapeDtypeStruct((Np, 32), jnp.float32),
+                jax.ShapeDtypeStruct((), jnp.int32),
+                Np=Np, T=MAX_TRIES, Dmax=_FUSED_DEPTH_CAP,
+                Ca=Np // UPGMA_THRESHOLD + 1).compile()
+            status = "ok"
+        except Exception as e:
+            status = f"failed: {e}"[:120]
+        if not quiet:
+            print(f"warmup tree Np={Np}: {status} "
+                  f"({time.time() - t0:.1f}s)", file=sys.stderr)
+
+
 def warmup(engines=("tpu-fast", "tpu"), sizes=DEFAULT_SIZES,
-           consistency=True, quiet=False):
+           consistency=True, quiet=False, tree_np=DEFAULT_TREE_NP):
     from kalign_tpu.utils import ensure_compile_cache
     ensure_compile_cache()
     from kalign_tpu import dssim
     from kalign_tpu.core.msa import Msa
     from kalign_tpu import engine as E
 
+    if "tpu-fast" in engines and tree_np:
+        warmup_tree_programs(tree_np, quiet=quiet)
     for engine in engines:
         for n_seq, length in sizes:
             t0 = time.time()
@@ -66,6 +97,9 @@ def main(argv=None):
     ap.add_argument("--sizes", default=None,
                     help="comma list of NxL, e.g. 64x200,256x200")
     ap.add_argument("--no-consistency", action="store_true")
+    ap.add_argument("--tree-np", default=None,
+                    help="comma list of padded tree sizes to AOT-compile"
+                         " (default 2048,16384,131072; 'none' disables)")
     ap.add_argument("-q", "--quiet", action="store_true")
     args = ap.parse_args(argv)
     sizes = DEFAULT_SIZES
@@ -74,8 +108,13 @@ def main(argv=None):
         for part in args.sizes.split(","):
             n, L = part.lower().split("x")
             sizes.append((int(n), int(L)))
+    tree_np = DEFAULT_TREE_NP
+    if args.tree_np is not None:
+        tree_np = () if args.tree_np.lower() == "none" else \
+            tuple(int(x) for x in args.tree_np.split(","))
     warmup(engines=tuple(args.engines.split(",")), sizes=sizes,
-           consistency=not args.no_consistency, quiet=args.quiet)
+           consistency=not args.no_consistency, quiet=args.quiet,
+           tree_np=tree_np)
     return 0
 
 

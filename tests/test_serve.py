@@ -165,3 +165,11 @@ def test_warmup_seeds_cache(tmp_path, monkeypatch):
     W.warmup(engines=("tpu-fast",), sizes=[(8, 60)], consistency=False,
              quiet=True)
     assert jax.config.jax_compilation_cache_dir
+
+
+def test_warmup_tree_programs_compile(monkeypatch, tmp_path):
+    """AOT tree-program seeding (fused k-means) must lower+compile the
+    requested padded sizes without executing the recursion."""
+    monkeypatch.setenv("KALIGN_TPU_COMPILE_CACHE", str(tmp_path / "xla"))
+    from kalign_tpu import warmup as W
+    W.warmup_tree_programs((2048,), quiet=True)
