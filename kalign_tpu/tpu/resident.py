@@ -49,6 +49,9 @@ from kalign_tpu.core import params as P
 
 STEP_PAD = 3
 
+# live-store shrink-compactions this process (observability/tests)
+_compactions = 0
+
 
 def _bucket(n: int, q: int = 128) -> int:
     return max(q, ((n + q - 1) // q) * q)
@@ -643,7 +646,7 @@ class ResidentPass:
         multi_stash = []     # (task_ids, device disagree flags, B_real)
 
         def ensure_live(min_rows, min_cap):
-            nonlocal live, live_rows, live_cap, free_rows
+            nonlocal live, live_rows, live_cap, free_rows, slot_of
             rows = _pow2(max(min_rows, live_rows))
             cap = _bucket(max(min_cap, live_cap))
             if live is None:
@@ -652,6 +655,31 @@ class ResidentPass:
                         jnp.zeros((rows, cap, 23), jnp.float32),
                         jnp.zeros((rows, cap, 3), jnp.float32))
                 free_rows = list(range(rows))
+                return
+            # shrink-compact: growing the cap while most rows are free
+            # would balloon [rows, cap] quadratically (at 100k seqs the
+            # level-1 row count x the root-level profile cap is tens of
+            # GB of HBM) — re-pack the used rows into a right-sized
+            # buffer first
+            need_rows = _pow2(max(min_rows, 8))
+            if cap > live_cap and need_rows <= live_rows // 2:
+                global _compactions
+                _compactions += 1
+                used = sorted(slot_of.items(), key=lambda kv: kv[1])
+                src = jnp.asarray(
+                    np.asarray([r for _, r in used], np.int32))
+                nu = len(used)
+                pc_, ps_, pp_ = live
+                live = tuple(
+                    jnp.zeros((need_rows, cap) + a.shape[2:],
+                              jnp.float32).at[:nu, :live_cap].set(
+                        jnp.take(a, src, axis=0) if nu else
+                        jnp.zeros((0, live_cap) + a.shape[2:],
+                                  jnp.float32))
+                    for a in (pc_, ps_, pp_))
+                slot_of = {node: i for i, (node, _) in enumerate(used)}
+                free_rows = list(range(nu, need_rows))
+                live_rows, live_cap = need_rows, cap
                 return
             if rows > live_rows or cap > live_cap:
                 pc_, ps_, pp_ = live

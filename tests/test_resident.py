@@ -364,3 +364,31 @@ def test_resident_refine_with_consistency_matches_host_assembled(
         out = E.align_msa(m, engine="tpu-fast", refine=P.REFINE_CONFIDENT)
         outs[resident] = kio.write_fasta(out)
     assert outs[True] == outs[False]
+
+
+@pytest.mark.slow
+def test_live_store_compaction_parity(monkeypatch):
+    """The live-profile store must shrink-compact when the cap grows
+    with mostly-free rows (at 100k seqs the level-1 row count times the
+    root-level cap would be tens of GB of HBM) — and compaction must
+    not change the alignment."""
+    from kalign_tpu import dssim
+    from kalign_tpu.core.msa import Msa
+    from kalign_tpu.core import io as kio
+    from kalign_tpu import engine as E
+    import kalign_tpu.tpu.resident as R
+
+    seqs, names = dssim.generate_test_sequences(256, n_obs=10, dna=True,
+                                                length=150, seed=5)
+    outs = {}
+    before = R._compactions
+    for resident in (True, False):
+        monkeypatch.delenv("KALIGN_TPU_NO_RESIDENT", raising=False)
+        if not resident:
+            monkeypatch.setenv("KALIGN_TPU_NO_RESIDENT", "1")
+        m = Msa.from_sequences(seqs, names)
+        m.quiet = True
+        out = E.align_msa(m, consistency_anchors=0, engine="tpu-fast")
+        outs[resident] = kio.write_fasta(out)
+    assert R._compactions > before          # the path actually ran
+    assert outs[True] == outs[False]
