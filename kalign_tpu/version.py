@@ -1,4 +1,4 @@
-__version__ = "0.3.0"
+__version__ = "0.3.1"
 
 # Version string of the reference implementation whose behavior we match.
 # Used by the Clustal/MSF writers for byte-compatible headers.
