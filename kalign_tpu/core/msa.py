@@ -266,11 +266,21 @@ def _ispunct(ch: str) -> bool:
 
 
 def gcg_checksum(seq: str) -> int:
-    """GCG checksum (``msa_check.c:301-310``)."""
-    chk = 0
-    for i, ch in enumerate(seq):
-        chk = (chk + (i % 57 + 1) * ord(ch.upper())) % 10000
-    return chk
+    """GCG checksum (``msa_check.c:301-310``).  Vectorized for ASCII
+    (the reader only ever produces ASCII residues; per-step mod equals
+    mod of the positive total); non-ASCII falls back to the exact
+    per-char loop (Python upper may be multi-char, e.g. eszett)."""
+    try:
+        b = np.frombuffer(seq.encode("ascii"), dtype=np.uint8) \
+            .astype(np.int64)
+    except UnicodeEncodeError:
+        chk = 0
+        for i, ch in enumerate(seq):
+            chk = (chk + (i % 57 + 1) * ord(ch.upper())) % 10000
+        return chk
+    b = np.where((b >= 97) & (b <= 122), b - 32, b)
+    w = (np.arange(b.size, dtype=np.int64) % 57) + 1
+    return int((w * b).sum() % 10000)
 
 
 def gcg_mult_checksum(rows: List[str]) -> int:
