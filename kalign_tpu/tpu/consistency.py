@@ -67,15 +67,12 @@ class ConsistencyTable:
                 else:
                     pairs.append((ak, i))
                     jobs.append((i, k, True))
-        all_steps = engine._dp_leaf_batch(codes, pairs, base)
-        for (i, k, swapped), steps in zip(jobs, all_steps):
-            gap_i, gap_k = (2, 1) if swapped else (1, 2)
-            # map residue of i -> residue of anchor at match steps
-            pos_i = np.cumsum(steps != gap_i) - 1
-            pos_k = np.cumsum(steps != gap_k) - 1
-            m = np.full(len(codes[i]), -1, dtype=np.int64)
-            sel = steps == 0
-            m[pos_i[sel]] = pos_k[sel]
+        # residue-of-i -> residue-of-anchor maps, extracted
+        # batch-vectorized inside the leaf DP collection
+        maps_spec = [(len(codes[i]), swapped) for i, _, swapped in jobs]
+        all_maps = engine._dp_leaf_batch(codes, pairs, base,
+                                         maps_spec=maps_spec)
+        for (i, k, swapped), m in zip(jobs, all_maps):
             maps[i * K + k] = m
         return cls(K=K, weight=weight, anchor_ids=anchors, pos_maps=maps,
                    numseq=n)

@@ -870,7 +870,26 @@ class TpuEngine:
     # without moving the well-behaved families.
     MAP_EPS = 1e-2
 
-    def _dp_leaf_batch(self, codes, pairs, ap):
+    @staticmethod
+    def _maps_from_steps_batch(steps, nsteps, swapped, li, Lmax):
+        """Vectorized residue->anchor position maps from a CHUNK of step
+        matrices (the per-pair cumsum loop costs ~30 us x N*K pairs —
+        15 s at 100k seqs).  steps [B, S] int8 (garbage beyond nsteps),
+        swapped/li [B].  Returns maps [B, Lmax] int64 (-1 unmapped);
+        row b's map is maps[b, :li[b]]."""
+        B, S = steps.shape
+        valid = np.arange(S)[None, :] < nsteps[:, None]
+        gap_i = np.where(swapped, 2, 1).astype(np.int8)[:, None]
+        gap_k = np.where(swapped, 1, 2).astype(np.int8)[:, None]
+        pos_i = np.cumsum(steps != gap_i, axis=1) - 1
+        pos_k = np.cumsum(steps != gap_k, axis=1) - 1
+        sel = (steps == 0) & valid
+        maps = np.full((B, Lmax), -1, dtype=np.int64)
+        b_idx = np.nonzero(sel)[0]
+        maps[b_idx, pos_i[sel]] = pos_k[sel]
+        return maps
+
+    def _dp_leaf_batch(self, codes, pairs, ap, maps_spec=None):
         """Batched seq x seq DP over (rows_seq, cols_seq) index pairs of
         leaf sequences (the consistency map workload,
         anchor_consistency.c:246-267).  Assembly is fully vectorized —
@@ -880,8 +899,12 @@ class TpuEngine:
         uploads ONCE and operands assemble ON DEVICE from int32 index
         vectors (bitwise-identical one-hot/gather/mask ops) — at 10^5
         sequences the host assembly of N*K one-hot matrices is tens of
-        GB of allocation + transfer.  Returns a list of step arrays in
-        input order."""
+        GB of allocation + transfer.
+
+        Returns a list of step arrays in input order — or, with
+        maps_spec (per-pair (li, swapped)), the residue->anchor position
+        maps directly (batch-vectorized; skips materializing N*K step
+        arrays)."""
         lens = np.array([len(c) for c in codes], np.int32)
         Lmax = int(lens.max())
         pad = np.zeros((len(codes), Lmax), np.uint8)
@@ -898,7 +921,7 @@ class TpuEngine:
         import os
         if self.use_pallas or os.environ.get("KALIGN_TPU_LEAF_DEVICE"):
             done = self._dp_leaf_batch_device(pad, lens, subm, penv,
-                                              buckets, out)
+                                              buckets, out, maps_spec)
             if done:
                 return out
         for (L1p, L2p), items in buckets.items():
@@ -928,11 +951,27 @@ class TpuEngine:
             steps_list, _ = self._run_bucket(
                 lhs, rhs, pc.astype(np.float32), pr.astype(np.float32),
                 la, lb, eps, None)
-            for k, (idx, _, _) in enumerate(items):
-                out[idx] = np.asarray(steps_list[k], np.int8)
+            if maps_spec is not None:
+                S = max((len(s) for s in steps_list), default=1)
+                st = np.full((B, max(S, 1)), 3, np.int8)
+                for k, s in enumerate(steps_list):
+                    st[k, :len(s)] = s
+                ns = np.array([len(s) for s in steps_list], np.int32)
+                sw = np.array([maps_spec[idx][1] for idx, _, _ in items],
+                              bool)
+                li = np.array([maps_spec[idx][0] for idx, _, _ in items],
+                              np.int64)
+                maps = self._maps_from_steps_batch(st, ns, sw, li,
+                                                   int(li.max()))
+                for k, (idx, _, _) in enumerate(items):
+                    out[idx] = maps[k, :maps_spec[idx][0]]
+            else:
+                for k, (idx, _, _) in enumerate(items):
+                    out[idx] = np.asarray(steps_list[k], np.int8)
         return out
 
-    def _dp_leaf_batch_device(self, pad, lens, subm, penv, buckets, out):
+    def _dp_leaf_batch_device(self, pad, lens, subm, penv, buckets, out,
+                              maps_spec=None):
         """Device-side assembly for _dp_leaf_batch: upload the token
         table once, ship only int32 index vectors per launch chunk,
         assemble one-hot / subm-gathered operands in-program
@@ -991,10 +1030,24 @@ class TpuEngine:
                     (chunk, ("packed", packed, L1p + L2p + 2, Bc)))
 
         handles = self._prefetch_handles([d[1] for d in dispatched])
+        from kalign_tpu.tpu.traceback import unpack_traceback
         for (chunk, _), handle in zip(dispatched, handles):
-            steps_list, _ = self._collect_bucket(handle)
-            for k, (idx, _, _) in enumerate(chunk):
-                out[idx] = np.asarray(steps_list[k], np.int8)
+            if maps_spec is not None:
+                _, packed, max_steps, Bc = handle
+                steps, nsteps, _ = unpack_traceback(np.asarray(packed),
+                                                    max_steps)
+                sw = np.array([maps_spec[idx][1] for idx, _, _ in chunk],
+                              bool)
+                li = np.array([maps_spec[idx][0] for idx, _, _ in chunk],
+                              np.int64)
+                maps = self._maps_from_steps_batch(
+                    steps[:Bc], nsteps[:Bc], sw, li, int(li.max()))
+                for k, (idx, _, _) in enumerate(chunk):
+                    out[idx] = maps[k, :maps_spec[idx][0]]
+            else:
+                steps_list, _ = self._collect_bucket(handle)
+                for k, (idx, _, _) in enumerate(chunk):
+                    out[idx] = np.asarray(steps_list[k], np.int8)
         return True
 
     # single-problem helper used by consistency map building
