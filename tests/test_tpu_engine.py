@@ -237,3 +237,21 @@ def test_consistency_leaf_device_assembly_byte_parity(monkeypatch):
         out = E.align_msa(m, engine="tpu-fast")
         outs[flag] = kio.write_fasta(out)
     assert outs[True] == outs[False]
+
+
+def test_consistency_leaf_device_multichunk_parity(monkeypatch):
+    """The multi-chunk branch of the device leaf batch (only reached
+    above ~4096 pairs per bucket at default caps — i.e. at 10^4-10^5
+    sequence scale) must be byte-identical to the single-chunk path;
+    forced here by shrinking the launch cap."""
+    from kalign_tpu.tpu.engine import TpuEngine
+
+    monkeypatch.setenv("KALIGN_TPU_LEAF_DEVICE", "1")
+    outs = {}
+    for cap in (None, 1 << 18):
+        if cap:
+            monkeypatch.setattr(TpuEngine, "MAX_MATCH_BYTES", cap)
+        m = kio.read_alignment(os.path.join(DATA, "BB12006.tfa"))
+        m.quiet = True
+        outs[cap] = kio.write_fasta(E.align_msa(m, engine="tpu-fast"))
+    assert outs[None] == outs[1 << 18]
