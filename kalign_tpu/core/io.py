@@ -73,6 +73,9 @@ def _clean_lines(text: str) -> List[str]:
     single buffer conversion; the common no-control-chars case is a
     plain split."""
     cp, dec = _codepoints(text)
+    # the trailing-\n rule tests the ORIGINAL text (a dropped trailing
+    # control char must not turn a real empty last line into a pop)
+    trailing_nl = text.endswith("\n")
     counts = _char_counts(cp) if cp.size else np.zeros(128, np.int64)
     n_ctrl = int(counts[:32].sum() - counts[10])
     if cp.dtype != np.uint8:
@@ -93,7 +96,7 @@ def _clean_lines(text: str) -> List[str]:
     out = text.split("\n")
     # split("\n") leaves a trailing empty element when text ends with \n;
     # getline would not produce that extra line.
-    if text.endswith("\n") and out and out[-1] == "":
+    if trailing_nl and out and out[-1] == "":
         out.pop()
     return out
 
