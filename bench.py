@@ -64,8 +64,14 @@ def bench_gotoh(batch=192, L=384, bt=192, iters=48, tries=3):
     @jax.jit
     def chained(match, pc, pr, la, lb, reps):
         def body(_, c):
-            m = match + c * jnp.float32(1e-9)
-            _, score, _ = gotoh_forward_pallas(m, pc, pr, la, lb, bt=bt,
+            # chain iterations through the TINY penalty arrays, not the
+            # [L1, B, L2] match: each launch still consumes the previous
+            # scores (so nothing can be hoisted or elided), but the
+            # inter-iteration device work is an O(B*L) elementwise pass
+            # instead of a ~226 MB match rewrite that used to inflate
+            # the measured device time by ~30%
+            p = pc + c * jnp.float32(1e-9)
+            _, score, _ = gotoh_forward_pallas(match, p, pr, la, lb, bt=bt,
                                                rows_per_step=16,
                                                with_dec=False,
                                                with_bias=False,
