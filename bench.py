@@ -108,6 +108,51 @@ def bench_gotoh(batch=192, L=384, bt=192, iters=48, tries=3):
     return device_gcups, wall_gcups, per_try
 
 
+def bench_gotoh_lanewise(batch=2048, L=192, iters=24, tries=3,
+                         with_dec=True):
+    """Secondary: the problem-per-lane kernel (tpu/gotoh_lanewise.py)
+    on its target workload — a full-tile batch of small problems with
+    decisions on (guide-tree leaf levels / consistency maps at scale).
+    Chained through the pens like bench_gotoh; the b->lanes match
+    relayout happens inside the call, so this is an honest per-launch
+    number including the producer-side transpose."""
+    import jax
+    import jax.numpy as jnp
+    from kalign_tpu.utils.devtime import device_timer
+    from kalign_tpu.tpu.gotoh_lanewise import gotoh_forward_lanewise
+
+    rng = np.random.default_rng(2)
+    match = jnp.asarray(rng.normal(size=(batch, L, L)).astype(np.float32))
+    pens = np.tile(np.array([-7.0, -1.25, -1.0], np.float32)[None, :, None],
+                   (batch, 1, L + 1))
+    pc = jnp.asarray(pens)
+    pr = jnp.asarray(pens)
+    la = jnp.full((batch,), L - 3, jnp.int32)
+    lb = jnp.full((batch,), L - 5, jnp.int32)
+
+    @jax.jit
+    def chained(match, pc, pr, la, lb, reps):
+        def body(_, c):
+            p = pc + c * jnp.float32(1e-9)
+            _, score, _ = gotoh_forward_lanewise(match, p, pr, la, lb,
+                                                 with_dec=with_dec,
+                                                 with_bias=False)
+            return jnp.sum(score) * jnp.float32(1e-9)
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+    float(chained(match, pc, pr, la, lb, 1))
+    cells = batch * L * L
+    dev_sub = "TPU" if jax.default_backend() not in ("cpu",) else "CPU"
+    per_try = []
+    for _ in range(tries):
+        box = {}
+        with device_timer(box, device_substr=dev_sub):
+            float(chained(match, pc, pr, la, lb, iters))
+        if box.get("device_s", 0.0) > 0:
+            per_try.append(cells * iters / box["device_s"] / 1e9)
+    return float(np.median(per_try)) if per_try else 0.0
+
+
 def bench_bpm(batch=256, n=512, m=512, iters=5, warmup=1):
     import jax.numpy as jnp
     from kalign_tpu.tpu import bpm
@@ -178,6 +223,15 @@ def main():
             "wall_gcups": round(wall_gcups, 3),
             "tries": [round(g, 2) for g in per_try],
         }
+        import jax
+        if jax.default_backend() not in ("cpu",):
+            # secondary info: the problem-per-lane kernel on its
+            # large-batch leaf/consistency workload (with decisions);
+            # failures must not damage the primary metric
+            try:
+                result["lanewise_gcups"] = round(bench_gotoh_lanewise(), 3)
+            except Exception as e:
+                result["lanewise_error"] = str(e)[:120]
     except Exception as e:  # report failure visibly but in-protocol
         result = {
             "metric": "dp_gcups_per_chip",

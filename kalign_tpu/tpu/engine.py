@@ -131,6 +131,50 @@ def _fused_forward(lhs, rhs, pc, pr, la, lb, bias_eps, bonus, bt,
     return dec[:, 1:, 1:], score, st
 
 
+@functools.partial(jax.jit, static_argnames=("with_dec", "interpret"))
+def _fused_forward_lanewise(lhs, rhs, pc, pr, la, lb, bias_eps, bonus,
+                            with_dec=True, interpret=False):
+    """Lanewise-kernel variant of _fused_forward for full-tile batches
+    (B a multiple of 1024; tpu/gotoh_lanewise.py): same MXU matmul +
+    consistency-bonus semantics, then the problem-per-lane forward.
+    Returns the packed-nibble decision layout — walk with
+    traceback_packed_lanewise.
+
+    Float note: with no bonus, the centering bias fuses into the
+    kernel as |j*eps - i*(slope*eps)|, which rounds differently from
+    the XLA pass's |j - i*slope|*eps — near-score-ties may resolve
+    differently between the lanewise and row paths (both are
+    score-optimal; the tpu-fast engines carry that contract)."""
+    from kalign_tpu.tpu.gotoh_lanewise import gotoh_forward_lanewise
+    match = jax.lax.dot_general(
+        lhs, rhs, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)          # [B, L1p, L2p]
+    slope = lb.astype(jnp.float32) / jnp.maximum(la.astype(jnp.float32), 1.0)
+    if bonus is not None:
+        B, L1p, L2p = match.shape
+        ii = jnp.arange(1, L1p + 1, dtype=jnp.float32)[None, :, None]
+        jj = jnp.arange(1, L2p + 1, dtype=jnp.float32)[None, None, :]
+        dev = jnp.abs(jj - ii * slope[:, None, None])
+        match = match - dev * bias_eps[:, None, None]
+        if isinstance(bonus, tuple):
+            per_w, apr, cfr, apc, cfc = bonus
+            acc = jnp.zeros_like(match)
+            for k in range(apr.shape[1]):
+                eq = (apr[:, k, :, None] == apc[:, k, None, :]) & \
+                    (apr[:, k, :, None] >= 0)
+                term = (per_w * cfr[:, k, :, None]) * cfc[:, k, None, :]
+                acc = acc + jnp.where(eq, term, 0.0)
+            match = match + acc
+        else:
+            match = match + bonus
+        return gotoh_forward_lanewise(match, pc, pr, la, lb,
+                                      with_dec=with_dec, with_bias=False,
+                                      interpret=interpret)
+    return gotoh_forward_lanewise(match, pc, pr, la, lb, with_dec=with_dec,
+                                  slope=slope, bias_eps=bias_eps,
+                                  with_bias=True, interpret=interpret)
+
+
 @functools.partial(jax.jit, static_argnames=("L1p", "L2p"))
 def _leaf_assemble(tok, subm, penv, rows_idx, cols_idx, la, lb, L1p, L2p):
     """Leaf seq x seq operand assembly ON DEVICE from the resident
@@ -170,6 +214,7 @@ class TpuEngine:
         merge buckets shard their batch axis over the whole mesh
         (SURVEY §2.2 tree-level merge parallelism) via
         parallel.mesh.sharded_bucket_step."""
+        import os
         from kalign_tpu.utils import ensure_compile_cache
         ensure_compile_cache()
         self.host = HostEngine(n_threads=n_threads)
@@ -178,6 +223,22 @@ class TpuEngine:
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas
         self.mesh = mesh
+        # problem-per-lane kernel routing for full-tile batches:
+        # "1" = on where feasible, "0" (default) = off,
+        # "interpret" = force it in interpret mode (CPU differential
+        # tests of the integrated path)
+        self.lanewise = os.environ.get("KALIGN_TPU_LANEWISE", "0")
+
+    def _lanewise_ok(self, Bp: int, L1p: int, L2p: int) -> bool:
+        if self.lanewise == "0":
+            return False
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            return False
+        if not (self.use_pallas or self.lanewise == "interpret"):
+            return False
+        from kalign_tpu.tpu.gotoh_lanewise import BT, lanewise_feasible
+        return (Bp % BT == 0 and Bp >= BT
+                and lanewise_feasible(Bp, L1p, L2p))
 
     # cap on the [B, L1p, L2p] match bytes of ONE device launch; bigger
     # buckets split into chunked launches (an unchunked 32768-problem
@@ -335,13 +396,15 @@ class TpuEngine:
                 self.mesh, lhs, rhs, pc, pr, la, lb, eps, bonus)
             return ("done", (steps[:B], scores[:B]))
         feasible = True
-        if self.use_pallas:
+        Bp = _pow2_batch(B)
+        lanewise = self._lanewise_ok(Bp, lhs.shape[1], rhs.shape[1])
+        if self.use_pallas and not lanewise:
             from kalign_tpu.tpu.gotoh_pallas import pick_plan
-            Bp = _pow2_batch(B)
             bt, R, feasible = pick_plan(Bp, rhs.shape[1])
             bt = min(bt, Bp)
-        if self.use_pallas and feasible:
-            from kalign_tpu.tpu.traceback import traceback_packed
+        if lanewise or (self.use_pallas and feasible):
+            from kalign_tpu.tpu.traceback import (traceback_packed,
+                                                  traceback_packed_lanewise)
             if Bp != B:
                 pad = Bp - B
 
@@ -363,14 +426,25 @@ class TpuEngine:
                 bonus_dev = jnp.asarray(bonus)
             else:
                 bonus_dev = None
-            dec, score, st = _fused_forward(
-                jnp.asarray(lhs), jnp.asarray(rhs), jnp.asarray(pc),
-                jnp.asarray(pr), jnp.asarray(la), jnp.asarray(lb),
-                jnp.asarray(eps), bonus_dev,
-                bt, R, True)
             max_steps = lhs.shape[1] + rhs.shape[1] + 2
-            packed = traceback_packed(dec, jnp.asarray(la), jnp.asarray(lb),
-                                      st, score, max_steps)
+            if lanewise:
+                dec, score, st = _fused_forward_lanewise(
+                    jnp.asarray(lhs), jnp.asarray(rhs), jnp.asarray(pc),
+                    jnp.asarray(pr), jnp.asarray(la), jnp.asarray(lb),
+                    jnp.asarray(eps), bonus_dev,
+                    interpret=not self.use_pallas)
+                packed = traceback_packed_lanewise(
+                    dec, jnp.asarray(la), jnp.asarray(lb), st, score,
+                    max_steps)
+            else:
+                dec, score, st = _fused_forward(
+                    jnp.asarray(lhs), jnp.asarray(rhs), jnp.asarray(pc),
+                    jnp.asarray(pr), jnp.asarray(la), jnp.asarray(lb),
+                    jnp.asarray(eps), bonus_dev,
+                    bt, R, True)
+                packed = traceback_packed(dec, jnp.asarray(la),
+                                          jnp.asarray(lb), st, score,
+                                          max_steps)
             return ("packed", packed, max_steps, B)
         # CPU backend / VMEM-infeasible widths: materialize match
         # (same XLA dot_general as the fused path, so near-tie decisions
@@ -980,7 +1054,8 @@ class TpuEngine:
         ONE batched transfer.  Returns False if any bucket is
         VMEM-infeasible (caller keeps the host path)."""
         from kalign_tpu.tpu.gotoh_pallas import pick_plan
-        from kalign_tpu.tpu.traceback import traceback_packed
+        from kalign_tpu.tpu.traceback import (traceback_packed,
+                                              traceback_packed_lanewise)
 
         plans = {}
         for (L1p, L2p), items in buckets.items():
@@ -1021,11 +1096,21 @@ class TpuEngine:
                     tok_dev, subm_dev, penv_dev, jnp.asarray(rows),
                     jnp.asarray(cols), la_d, lb_d, L1p=L1p, L2p=L2p)
                 eps = jnp.full((Bp,), self.MAP_EPS, jnp.float32)
-                dec, score, st = _fused_forward(
-                    lhs, rhs, pc, pr, la_d, lb_d, eps, None, bt, R, True,
-                    use_pallas=self.use_pallas)
-                packed = traceback_packed(dec, la_d, lb_d, st, score,
-                                          L1p + L2p + 2)
+                if self._lanewise_ok(Bp, L1p, L2p):
+                    # full-tile chunks take the problem-per-lane kernel
+                    # (no in-row scan); sub-tile tails stay on the row
+                    # kernel
+                    dec, score, st = _fused_forward_lanewise(
+                        lhs, rhs, pc, pr, la_d, lb_d, eps, None,
+                        interpret=not self.use_pallas)
+                    packed = traceback_packed_lanewise(
+                        dec, la_d, lb_d, st, score, L1p + L2p + 2)
+                else:
+                    dec, score, st = _fused_forward(
+                        lhs, rhs, pc, pr, la_d, lb_d, eps, None, bt, R,
+                        True, use_pallas=self.use_pallas)
+                    packed = traceback_packed(dec, la_d, lb_d, st, score,
+                                              L1p + L2p + 2)
                 dispatched.append(
                     (chunk, ("packed", packed, L1p + L2p + 2, Bc)))
 

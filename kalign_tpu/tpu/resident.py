@@ -149,11 +149,16 @@ def _produce_operands(live_counts, live_subrows, live_pen, tokens,
 
 
 def _forward_traceback(match_raw, acc, pc, pr, la, lb, slope, eps,
-                       L1p, L2p, S, use_pallas, bt, R):
+                       L1p, L2p, S, use_pallas, bt, R, lanewise="off"):
     """Centering bias + forward DP + packed traceback for one candidate.
     With a consistency accumulator the bias folds into the match in XLA
     (same float order as the pre-refactor fused path: (raw - dev*eps)
-    + acc) and the kernel bias is zeroed."""
+    + acc) and the kernel bias is zeroed.
+
+    lanewise: "off" | "on" | "interpret" — full-tile batches of small
+    problems (leaf-heavy levels at 16k-100k scale) take the
+    problem-per-lane kernel (tpu/gotoh_lanewise.py, no in-row scan);
+    "interpret" is the CPU differential-test mode."""
     match = match_raw
     if acc is not None:
         ii = jnp.arange(1, L1p + 1, dtype=jnp.float32)[None, :, None]
@@ -162,6 +167,16 @@ def _forward_traceback(match_raw, acc, pc, pr, la, lb, slope, eps,
         match = (match - dev * eps[:, None, None]) + acc
         slope = jnp.zeros_like(slope)
         eps = jnp.zeros_like(eps)
+
+    if lanewise != "off":
+        from kalign_tpu.tpu.gotoh_lanewise import gotoh_forward_lanewise
+        from kalign_tpu.tpu.traceback import traceback_lanewise
+        dec, score, st = gotoh_forward_lanewise(
+            match, pc, pr, la, lb, with_dec=True,
+            slope=slope, bias_eps=eps,
+            interpret=(lanewise == "interpret"))
+        steps_rc, nsteps = traceback_lanewise(dec, la, lb, st, S)
+        return steps_rc, nsteps, score
 
     if use_pallas:
         from kalign_tpu.tpu.gotoh_pallas import gotoh_forward_pallas
@@ -266,14 +281,16 @@ def _merge_from_steps(steps_rc, nsteps, score, sides, swap_ab,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("L1p", "L2p", "S", "use_pallas", "bt", "R"))
+    static_argnames=("L1p", "L2p", "S", "use_pallas", "bt", "R",
+                     "lanewise"))
 def _bucket_step(live_counts, live_subrows, live_pen, tokens, tok_lens,
                  subm,
                  rows_slot, cols_slot, rows_leaf, cols_leaf,
                  rows_is_leaf, cols_is_leaf, cif, swap_ab,
                  la, lb, soff, eff_pen, nsip_r, nsip_c,
                  sip_a, sip_b, base_pen, eps,
-                 L1p, L2p, S, use_pallas, bt, R, bonus=None):
+                 L1p, L2p, S, use_pallas, bt, R, bonus=None,
+                 lanewise="off"):
     """One level bucket, fully on device.
 
     Index arrays (all [B]): rows_slot/cols_slot into the live buffers
@@ -296,7 +313,7 @@ def _bucket_step(live_counts, live_subrows, live_pen, tokens, tok_lens,
         la, lb, soff, eff_pen, nsip_r, nsip_c, eps, L1p, L2p, bonus)
     steps_rc, nsteps, score = _forward_traceback(
         match_raw, acc, pc, pr, la, lb, slope, eps,
-        L1p, L2p, S, use_pallas, bt, R)
+        L1p, L2p, S, use_pallas, bt, R, lanewise)
     return _merge_from_steps(steps_rc, nsteps, score, sides, swap_ab,
                              sip_a, sip_b, base_pen, L1p, L2p, S)
 
@@ -362,7 +379,8 @@ def _sp_scores(steps_rc, nsteps, r_counts, c_counts, gaps_rows, gaps_cols,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("L1p", "L2p", "S", "K", "use_pallas", "bt", "R"))
+    static_argnames=("L1p", "L2p", "S", "K", "use_pallas", "bt", "R",
+                     "lanewise"))
 def _bucket_step_refine(live_counts, live_subrows, live_pen, tokens,
                         tok_lens, subm,
                         rows_slot, cols_slot, rows_leaf, cols_leaf,
@@ -370,7 +388,8 @@ def _bucket_step_refine(live_counts, live_subrows, live_pen, tokens,
                         la, lb, soff, eff_pen, nsip_r, nsip_c,
                         sip_a, sip_b, base_pen, eps_cands,
                         gaps_rows, gaps_cols,
-                        L1p, L2p, S, K, use_pallas, bt, R, bonus=None):
+                        L1p, L2p, S, K, use_pallas, bt, R, bonus=None,
+                        lanewise="off"):
     """Multi-candidate level bucket (refine=all), fully on device: the
     shared producer runs once, the forward DP + traceback run K times
     with different centering-bias strengths (eps_cands [B, K]), the
@@ -393,7 +412,7 @@ def _bucket_step_refine(live_counts, live_subrows, live_pen, tokens,
     for v in range(K):
         steps_v, nsteps_v, _ = _forward_traceback(
             match_raw, acc, pc, pr, la, lb, slope, eps_cands[:, v],
-            L1p, L2p, S, use_pallas, bt, R)
+            L1p, L2p, S, use_pallas, bt, R, lanewise)
         sp_v = _sp_scores(steps_v, nsteps_v, r_counts, c_counts,
                           gaps_rows, gaps_cols, nsip_r, nsip_c, subm,
                           base_pen, L1p, L2p, S)
@@ -785,6 +804,13 @@ class ResidentPass:
                     if not feasible:
                         return None  # caller falls back entirely
 
+                def lw_chunk(Bc):
+                    # full-tile chunks route to the problem-per-lane
+                    # kernel; sub-tile tails keep the row kernel
+                    if not eng._lanewise_ok(Bc, L1p, L2p):
+                        return "off"
+                    return "on" if eng.use_pallas else "interpret"
+
                 cap = eng._max_launch(L1p, L2p)
                 outs = []
                 for lo in range(0, Bp, cap):
@@ -852,7 +878,8 @@ class ResidentPass:
                             *common, eps_k, gaps_r, gaps_c,
                             L1p=L1p, L2p=L2p, S=S, K=len(cands),
                             use_pallas=use_pallas,
-                            bt=min(bt, hi - lo), R=R, bonus=bonus)
+                            bt=min(bt, hi - lo), R=R, bonus=bonus,
+                            lanewise=lw_chunk(hi - lo))
                         if citems:
                             multi_stash.append(
                                 ([task_index[it[0]] for it in citems],
@@ -863,7 +890,8 @@ class ResidentPass:
                         outs.append(_bucket_step(
                             *common, jnp.asarray(eps_c),
                             L1p=L1p, L2p=L2p, S=S, use_pallas=use_pallas,
-                            bt=min(bt, hi - lo), R=R, bonus=bonus))
+                            bt=min(bt, hi - lo), R=R, bonus=bonus,
+                            lanewise=lw_chunk(hi - lo)))
                 # keep per-chunk outputs (concatenating the merged
                 # profile arrays would double the transient HBM peak at
                 # 10^5-sequence scale)

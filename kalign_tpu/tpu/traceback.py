@@ -146,6 +146,14 @@ def traceback_lanewise(dec_packed, la, lb, end_state, max_steps):
                          end_state.astype(jnp.int32))
 
 
+def _pack_steps(steps, n, score):
+    score_bits = jax.lax.bitcast_convert_type(score.astype(jnp.float32),
+                                              jnp.int32)
+    hdr = jnp.stack([n.astype(jnp.int32), score_bits], axis=1)  # [B, 2] i32
+    hdr8 = jax.lax.bitcast_convert_type(hdr, jnp.int8)   # [B, 2, 4]
+    return jnp.concatenate([steps, hdr8.reshape(-1, 8)], axis=1)
+
+
 @partial(jax.jit, static_argnames=("max_steps",))
 def traceback_packed(dec, la, lb, end_state, score, max_steps):
     """traceback_batch + header packing: ONE int8 array
@@ -153,11 +161,16 @@ def traceback_packed(dec, la, lb, end_state, score, max_steps):
     A single device->host transfer per launch matters on high-latency
     links (dev tunnels); decode with unpack_traceback."""
     steps, n = traceback_batch(dec, la, lb, end_state, max_steps)
-    score_bits = jax.lax.bitcast_convert_type(score.astype(jnp.float32),
-                                              jnp.int32)
-    hdr = jnp.stack([n.astype(jnp.int32), score_bits], axis=1)  # [B, 2] i32
-    hdr8 = jax.lax.bitcast_convert_type(hdr, jnp.int8)   # [B, 2, 4]
-    return jnp.concatenate([steps, hdr8.reshape(-1, 8)], axis=1)
+    return _pack_steps(steps, n, score)
+
+
+@partial(jax.jit, static_argnames=("max_steps",))
+def traceback_packed_lanewise(dec_packed, la, lb, end_state, score,
+                              max_steps):
+    """traceback_lanewise + the same header packing as
+    traceback_packed (decode with unpack_traceback)."""
+    steps, n = traceback_lanewise(dec_packed, la, lb, end_state, max_steps)
+    return _pack_steps(steps, n, score)
 
 
 def unpack_traceback(packed: np.ndarray, max_steps: int):
