@@ -64,7 +64,7 @@ def lanewise_vmem_bytes(L2p: int) -> int:
     f = 4
     tile = 8 * 128
     return (3 * L2p * tile * f        # state scratch
-            + 5 * L2p * tile * f      # colpen (resident, 5 slots)
+            + 4 * L2p * tile * f      # colpen (resident, 4 slots)
             + L2p * tile * f          # ga0 (resident)
             + 2 * L2p * tile * f      # match in, double-buffered
             + 2 * (L2p // PACK) * tile * f   # dec out, double-buffered
@@ -120,7 +120,7 @@ def _kernel(lab_ref, bias_ref, match_ref, rowpen_ref, colpen_ref, ga0_ref,
                         jnp.full((8, 128), NEG))
 
     def col_block(jb, carry):
-        A_pm1, GA_pm1, GB_pm1, A_cur, GA_cur = carry
+        A_pm1, GA_pm1, GB_pm1, A_cur, GA_cur, goB_prev = carry
         dec_acc = jnp.zeros((8, 128), jnp.int32)
         for u in range(unroll):
             j = jb * unroll + u          # 0-based; DP column j+1
@@ -129,16 +129,19 @@ def _kernel(lab_ref, bias_ref, match_ref, rowpen_ref, colpen_ref, ga0_ref,
             GA_p = S_ref[1, j]
             GB_p = S_ref[2, j]
             m = match_ref[0, 0, j]
-            goB_jm1 = colpen_ref[0, 0, j]
-            goB_j = colpen_ref[0, 1, j]
-            geB_j = colpen_ref[0, 2, j]
-            tgeB_j = colpen_ref[0, 3, j]
+            # goB[j-1] is the previous iteration's goB[j] (carried;
+            # the row-entry value goB[0] rides in the bias block) —
+            # one VMEM load and one resident colpen slot fewer per cell
+            goB_jm1 = goB_prev
+            goB_j = colpen_ref[0, 0, j]
+            geB_j = colpen_ref[0, 1, j]
+            tgeB_j = colpen_ref[0, 2, j]
             if with_bias:
                 # cols_eps (= jdp * eps) is a precomputed colpen slot:
                 # an in-kernel mul feeding the sub would FMA-contract
                 # (observed 1-ulp drift vs the oracle), a sub alone
                 # cannot
-                m = m - jnp.abs(colpen_ref[0, 4, j] - row_term)
+                m = m - jnp.abs(colpen_ref[0, 3, j] - row_term)
 
             # --- A ---
             diagA = A_pm1
@@ -180,14 +183,14 @@ def _kernel(lab_ref, bias_ref, match_ref, rowpen_ref, colpen_ref, ga0_ref,
             A_pm1, GA_pm1, GB_pm1 = A_p, GA_p, GB_p
             A_cur = jnp.where(row_valid, A_new, A_p)
             GA_cur = jnp.where(row_valid, GA_new, GA_p)
+            goB_prev = goB_j
         if with_dec:
             dec_ref[0, 0, jb] = dec_acc
-        else:
-            dec_ref[0, 0, 0] = dec_acc
-        return (A_pm1, GA_pm1, GB_pm1, A_cur, GA_cur)
+        return (A_pm1, GA_pm1, GB_pm1, A_cur, GA_cur, goB_prev)
 
     neg = jnp.full((8, 128), NEG)
-    init = (a0_prev, neg, gb0_prev, neg, neg)
+    goB0 = bias_ref[0, 1]
+    init = (a0_prev, neg, gb0_prev, neg, neg, goB0)
     jax.lax.fori_loop(0, L2p // unroll, col_block, init)
 
     @pl.when(i == L1p - 1)
@@ -245,9 +248,11 @@ def gotoh_forward_lanewise(match, pens_cols, pens_rows, la, lb,
         bias_eps = jnp.zeros(B, jnp.float32)
 
     lab = _to_lanes(jnp.stack([la, lb], axis=1).astype(jnp.int32))
+    # slot 1 carries goB[0] (the row-entry close-open addend); the
+    # in-kernel column loop then needs only goB[j] loads
     biasv = _to_lanes(jnp.stack([
         slope.astype(jnp.float32) * bias_eps.astype(jnp.float32),
-        bias_eps.astype(jnp.float32)], axis=1))
+        pens_cols[:, 0, 0].astype(jnp.float32)], axis=1))
 
     m5 = _to_lanes(match)                      # [NB, L1p, L2p, 8, 128]
 
@@ -257,11 +262,10 @@ def gotoh_forward_lanewise(match, pens_cols, pens_rows, la, lb,
     cols_eps = (jnp.arange(1, L2p + 1, dtype=jnp.float32)[None, :]
                 * bias_eps.astype(jnp.float32)[:, None])
     colpen = _to_lanes(jnp.stack([
-        goB[:, :L2p],                          # goB[j-1] for DP col j
         goB[:, 1:L2p + 1],
         geB[:, 1:L2p + 1],
         tgeB[:, 1:L2p + 1],
-        cols_eps], axis=1))                    # [NB, 5, L2p, 8, 128]
+        cols_eps], axis=1))                    # [NB, 4, L2p, 8, 128]
 
     cols = jnp.arange(1, L2p + 1)[None, :]
     C_term = jnp.cumsum(tgeB[:, 1:], axis=1)
@@ -299,7 +303,7 @@ def gotoh_forward_lanewise(match, pens_cols, pens_rows, la, lb,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 5, 8, 128), lambda b, i: (b, i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 5, L2p, 8, 128), lambda b, i: (b, 0, 0, 0, 0),
+            pl.BlockSpec((1, 4, L2p, 8, 128), lambda b, i: (b, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, L2p, 8, 128), lambda b, i: (b, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
