@@ -132,13 +132,21 @@ def bench_gotoh_lanewise(batch=2048, L=192, iters=24, tries=3,
 
     @jax.jit
     def chained(match, pc, pr, la, lb, reps):
-        def body(_, c):
+        def body(_, carry):
+            m, c = carry
             p = pc + c * jnp.float32(1e-9)
-            _, score, _ = gotoh_forward_lanewise(match, p, pr, la, lb,
+            _, score, _ = gotoh_forward_lanewise(m, p, pr, la, lb,
                                                  with_dec=with_dec,
                                                  with_bias=False)
-            return jnp.sum(score) * jnp.float32(1e-9)
-        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+            s = jnp.sum(score) * jnp.float32(1e-9)
+            # one-element match perturbation: keeps the b->lanes match
+            # relayout INSIDE the measured loop (a loop-invariant match
+            # would let XLA hoist the transpose, understating the
+            # production per-launch cost)
+            m = m.at[0, 0, 0].add(s * jnp.float32(1e-9))
+            return (m, s)
+        _, s = jax.lax.fori_loop(0, reps, body, (match, jnp.float32(0.0)))
+        return s
 
     float(chained(match, pc, pr, la, lb, 1))
     cells = batch * L * L
@@ -171,16 +179,29 @@ def bench_bpm(batch=256, n=512, m=512, iters=5, warmup=1,
     out.block_until_ready()
     cells = batch * n * m
     if device_trace:
-        # contention-immune: dispatch all iterations asynchronously
-        # and sum the chip's actual busy time from the profiler trace
+        # contention-immune AND tunnel-safe: iterations are CHAINED
+        # inside one jit (each consumes the previous distances through
+        # a one-character text perturbation), so this is a single
+        # dispatch — never a queue of async dispatches, which can
+        # wedge the tunnel for many minutes (CLAUDE.md)
         from kalign_tpu.utils.devtime import device_timer
+
+        @jax.jit
+        def chained(texts, nlen, peq, mlen, reps):
+            def body(_, carry):
+                t, acc = carry
+                d = bpm.bpm_batch(t, nlen, peq, mlen, max_steps)
+                s = jnp.sum(d)
+                t = t.at[0, 0].set((s % 13).astype(jnp.uint8))
+                return (t, acc + s)
+            return jax.lax.fori_loop(0, reps, body,
+                                     (texts, jnp.int32(0)))[1]
+
+        int(chained(texts, nlen, peq, mlen, 1))   # compile + warmup
         dev_sub = "TPU" if jax.default_backend() not in ("cpu",) else "CPU"
         box = {}
         with device_timer(box, device_substr=dev_sub):
-            outs = [bpm.bpm_batch(texts, nlen, peq, mlen, max_steps)
-                    for _ in range(iters)]
-            for o in outs:
-                o.block_until_ready()
+            int(chained(texts, nlen, peq, mlen, iters))
         if box.get("device_s", 0.0) > 0:
             return cells * iters / box["device_s"] / 1e9
     t0 = time.time()

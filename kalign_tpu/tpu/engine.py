@@ -67,6 +67,38 @@ def _batched_matmul(lhs, rhs):
                                preferred_element_type=jnp.float32)
 
 
+def _prepare_match(lhs, rhs, la, lb, bias_eps, bonus):
+    """Shared producer for the fused forwards: MXU matmul + (when a
+    consistency bonus is present) XLA-side centering bias and bonus
+    accumulation in the EXACT float order of the host path.  Returns
+    (match, slope, bias_eps) with slope/bias_eps zeroed when the bias
+    was already applied — both fused paths MUST use this one function
+    so near-tie behavior never diverges between kernels."""
+    match = jax.lax.dot_general(
+        lhs, rhs, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)          # [B, L1p, L2p]
+    slope = lb.astype(jnp.float32) / jnp.maximum(la.astype(jnp.float32), 1.0)
+    if bonus is None:
+        return match, slope, bias_eps
+    B, L1p, L2p = match.shape
+    ii = jnp.arange(1, L1p + 1, dtype=jnp.float32)[None, :, None]
+    jj = jnp.arange(1, L2p + 1, dtype=jnp.float32)[None, None, :]
+    dev = jnp.abs(jj - ii * slope[:, None, None])
+    match = match - dev * bias_eps[:, None, None]
+    if isinstance(bonus, tuple):
+        per_w, apr, cfr, apc, cfc = bonus
+        acc = jnp.zeros_like(match)
+        for k in range(apr.shape[1]):
+            eq = (apr[:, k, :, None] == apc[:, k, None, :]) & \
+                (apr[:, k, :, None] >= 0)
+            term = (per_w * cfr[:, k, :, None]) * cfc[:, k, None, :]
+            acc = acc + jnp.where(eq, term, 0.0)
+        match = match + acc
+    else:
+        match = match + bonus
+    return match, jnp.zeros_like(slope), jnp.zeros_like(bias_eps)
+
+
 @functools.partial(jax.jit, static_argnames=("bt", "rows_per_step",
                                              "with_dec", "use_pallas"))
 def _fused_forward(lhs, rhs, pc, pr, la, lb, bias_eps, bonus, bt,
@@ -83,34 +115,8 @@ def _fused_forward(lhs, rhs, pc, pr, la, lb, bias_eps, bonus, bt,
     summation order matches the host matrix exactly); only
     O(K*(L1+L2)) floats travel instead of O(L1*L2)."""
     from kalign_tpu.tpu.gotoh_pallas import gotoh_forward_pallas
-    match = jax.lax.dot_general(
-        lhs, rhs, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)          # [B, L1p, L2p]
-    slope = lb.astype(jnp.float32) / jnp.maximum(la.astype(jnp.float32), 1.0)
-    if bonus is not None:
-        # with a consistency bonus the host/XLA paths compute
-        # (match - dev*eps) + bonus; apply the bias HERE in that exact
-        # float order (XLA fuses it into the bonus pass) and hand the
-        # kernel a zero bias, so fused and unfused engines agree on
-        # near-ties
-        B, L1p, L2p = match.shape
-        ii = jnp.arange(1, L1p + 1, dtype=jnp.float32)[None, :, None]
-        jj = jnp.arange(1, L2p + 1, dtype=jnp.float32)[None, None, :]
-        dev = jnp.abs(jj - ii * slope[:, None, None])
-        match = match - dev * bias_eps[:, None, None]
-        if isinstance(bonus, tuple):
-            per_w, apr, cfr, apc, cfc = bonus
-            acc = jnp.zeros_like(match)
-            for k in range(apr.shape[1]):
-                eq = (apr[:, k, :, None] == apc[:, k, None, :]) & \
-                    (apr[:, k, :, None] >= 0)
-                term = (per_w * cfr[:, k, :, None]) * cfc[:, k, None, :]
-                acc = acc + jnp.where(eq, term, 0.0)
-            match = match + acc
-        else:
-            match = match + bonus
-        slope = jnp.zeros_like(slope)
-        bias_eps = jnp.zeros_like(bias_eps)
+    match, slope, bias_eps = _prepare_match(lhs, rhs, la, lb, bias_eps,
+                                            bonus)
     if use_pallas:
         return gotoh_forward_pallas(match, pc, pr, la, lb, bt=bt,
                                     rows_per_step=rows_per_step,
@@ -146,30 +152,8 @@ def _fused_forward_lanewise(lhs, rhs, pc, pr, la, lb, bias_eps, bonus,
     differently between the lanewise and row paths (both are
     score-optimal; the tpu-fast engines carry that contract)."""
     from kalign_tpu.tpu.gotoh_lanewise import gotoh_forward_lanewise
-    match = jax.lax.dot_general(
-        lhs, rhs, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)          # [B, L1p, L2p]
-    slope = lb.astype(jnp.float32) / jnp.maximum(la.astype(jnp.float32), 1.0)
-    if bonus is not None:
-        B, L1p, L2p = match.shape
-        ii = jnp.arange(1, L1p + 1, dtype=jnp.float32)[None, :, None]
-        jj = jnp.arange(1, L2p + 1, dtype=jnp.float32)[None, None, :]
-        dev = jnp.abs(jj - ii * slope[:, None, None])
-        match = match - dev * bias_eps[:, None, None]
-        if isinstance(bonus, tuple):
-            per_w, apr, cfr, apc, cfc = bonus
-            acc = jnp.zeros_like(match)
-            for k in range(apr.shape[1]):
-                eq = (apr[:, k, :, None] == apc[:, k, None, :]) & \
-                    (apr[:, k, :, None] >= 0)
-                term = (per_w * cfr[:, k, :, None]) * cfc[:, k, None, :]
-                acc = acc + jnp.where(eq, term, 0.0)
-            match = match + acc
-        else:
-            match = match + bonus
-        return gotoh_forward_lanewise(match, pc, pr, la, lb,
-                                      with_dec=with_dec, with_bias=False,
-                                      interpret=interpret)
+    match, slope, bias_eps = _prepare_match(lhs, rhs, la, lb, bias_eps,
+                                            bonus)
     return gotoh_forward_lanewise(match, pc, pr, la, lb, with_dec=with_dec,
                                   slope=slope, bias_eps=bias_eps,
                                   with_bias=True, interpret=interpret)
@@ -230,7 +214,7 @@ class TpuEngine:
         self.lanewise = os.environ.get("KALIGN_TPU_LANEWISE", "0")
 
     def _lanewise_ok(self, Bp: int, L1p: int, L2p: int) -> bool:
-        if self.lanewise == "0":
+        if self.lanewise not in ("1", "interpret"):
             return False
         if self.mesh is not None and self.mesh.devices.size > 1:
             return False

@@ -68,7 +68,7 @@ def lanewise_vmem_bytes(L2p: int) -> int:
             + L2p * tile * f          # ga0 (resident)
             + 2 * L2p * tile * f      # match in, double-buffered
             + 2 * (L2p // PACK) * tile * f   # dec out, double-buffered
-            + 2 * 5 * tile * f        # rowpen stream
+            + 2 * 6 * tile * f        # rowpen stream
             + 4 * tile * f)           # lab/bias/score/state pads
 
 
@@ -110,9 +110,11 @@ def _kernel(lab_ref, bias_ref, match_ref, rowpen_ref, colpen_ref, ga0_ref,
     row_valid = la_v >= row
     is_last_row = la_v == row
     if with_bias:
-        slope_eps = bias_ref[0, 0]
-        rowf = jax.lax.convert_element_type(row, jnp.float32)
-        row_term = rowf * slope_eps
+        # row_term (= row * slope * eps) is a precomputed rowpen slot
+        # for the same reason cols_eps is a colpen slot: no in-kernel
+        # mul may feed the bias sub, or the compiler can contract it
+        # into an FMA and break bitwise parity with the oracle
+        row_term = rowpen_ref[0, 0, 5]
 
     # analytic DP column 0 of the previous row
     a0_prev = jnp.where(row == 1,
@@ -240,6 +242,10 @@ def gotoh_forward_lanewise(match, pens_cols, pens_rows, la, lb,
     B, L1p, L2p = match.shape
     assert B % BT == 0, (B, BT)
     assert L2p % unroll == 0, (L2p, unroll)
+    # the nibble-packed decision layout is defined by PACK; the
+    # walkers/unpackers decode with PACK, so a different unroll is
+    # only legal when decisions are off
+    assert unroll == PACK or not with_dec, (unroll, PACK)
     NB = B // BT
 
     if slope is None:
@@ -250,9 +256,9 @@ def gotoh_forward_lanewise(match, pens_cols, pens_rows, la, lb,
     lab = _to_lanes(jnp.stack([la, lb], axis=1).astype(jnp.int32))
     # slot 1 carries goB[0] (the row-entry close-open addend); the
     # in-kernel column loop then needs only goB[j] loads
+    slope_eps = slope.astype(jnp.float32) * bias_eps.astype(jnp.float32)
     biasv = _to_lanes(jnp.stack([
-        slope.astype(jnp.float32) * bias_eps.astype(jnp.float32),
-        pens_cols[:, 0, 0].astype(jnp.float32)], axis=1))
+        slope_eps, pens_cols[:, 0, 0].astype(jnp.float32)], axis=1))
 
     m5 = _to_lanes(match)                      # [NB, L1p, L2p, 8, 128]
 
@@ -278,10 +284,12 @@ def gotoh_forward_lanewise(match, pens_cols, pens_rows, la, lb,
     cum_tgeA = jnp.cumsum(tgeA[:, 1:], axis=1)       # [B, L1p]
     gb0_prev = jnp.concatenate(
         [jnp.full((B, 1), NEG, jnp.float32), cum_tgeA[:, :L1p - 1]], axis=1)
+    rows_f = jnp.arange(1, L1p + 1, dtype=jnp.float32)[None, :]
+    row_term = rows_f * slope_eps[:, None]     # exact mul, outside kernel
     rowpen = _to_lanes(jnp.stack([
         goA[:, 1:], geA[:, 1:], tgeA[:, 1:],
-        goA[:, :L1p], gb0_prev], axis=1))      # [NB, 5, L1p, 8, 128]
-    rowpen = jnp.transpose(rowpen, (0, 2, 1, 3, 4))  # [NB, L1p, 5, 8, 128]
+        goA[:, :L1p], gb0_prev, row_term], axis=1))  # [NB, 6, L1p, 8, 128]
+    rowpen = jnp.transpose(rowpen, (0, 2, 1, 3, 4))  # [NB, L1p, 6, 8, 128]
 
     grid = (NB, L1p)
     kernel = functools.partial(_kernel, L1p=L1p, L2p=L2p,
@@ -301,7 +309,7 @@ def gotoh_forward_lanewise(match, pens_cols, pens_rows, la, lb,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, L2p, 8, 128), lambda b, i: (b, i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 5, 8, 128), lambda b, i: (b, i, 0, 0, 0),
+            pl.BlockSpec((1, 1, 6, 8, 128), lambda b, i: (b, i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, L2p, 8, 128), lambda b, i: (b, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),

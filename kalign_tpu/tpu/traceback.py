@@ -131,17 +131,18 @@ def traceback_lanewise(dec_packed, la, lb, end_state, max_steps):
     b = nb*1024 + s*128 + l reads cell (r, c) from
     dec[nb, r, c//4, s, l] at nibble 4*(c%4).  Same walk, no unpack
     pass — the decision array never changes layout on device."""
-    NB, L1p, L2p4 = dec_packed.shape[:3]
-    B = NB * 1024
+    from kalign_tpu.tpu.gotoh_lanewise import BT, PACK
+    NB, L1p, L2p4, SUB, LANES = dec_packed.shape
+    B = NB * BT
 
     def one(nb, s, l, la_b, lb_b, st_b):
         def fetch(r, c):
-            word = dec_packed[nb, r, c // 4, s, l]
-            return (word >> (4 * (c % 4))) & 0xF
+            word = dec_packed[nb, r, c // PACK, s, l]
+            return (word >> (4 * (c % PACK))) & 0xF
         return _walk(fetch, la_b, lb_b, st_b, max_steps)
 
     bs = jnp.arange(B, dtype=jnp.int32)
-    return jax.vmap(one)(bs // 1024, (bs // 128) % 8, bs % 128,
+    return jax.vmap(one)(bs // BT, (bs // LANES) % SUB, bs % LANES,
                          la.astype(jnp.int32), lb.astype(jnp.int32),
                          end_state.astype(jnp.int32))
 
