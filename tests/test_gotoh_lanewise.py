@@ -126,3 +126,38 @@ def test_lanewise_feasibility_rule():
     assert not lanewise_feasible(512, 128, 128)      # sub-tile batch
     assert not lanewise_feasible(1536, 128, 128)     # not a tile multiple
     assert not lanewise_feasible(1024, 128, 1024)    # VMEM blowup
+
+
+def test_lanewise_tie_heavy_bitwise():
+    """Integer-valued matches and uniform penalties make exact ties
+    common; decisions must still match the oracle bitwise (the MAX3
+    later-operand-on-ties and open-on-tie conventions)."""
+    rng = np.random.default_rng(23)
+    B, L1p, L2p = BT, 12, 12
+    match = rng.integers(-3, 4, size=(B, L1p, L2p)).astype(np.float32)
+    pc = np.tile(np.array([-2.0, -1.0, -0.5], np.float32)[None, :, None],
+                 (B, 1, L2p + 1))
+    pr = np.tile(np.array([-2.0, -1.0, -0.5], np.float32)[None, :, None],
+                 (B, 1, L1p + 1))
+    la = rng.integers(1, L1p + 1, size=B).astype(np.int32)
+    lb = rng.integers(1, L2p + 1, size=B).astype(np.int32)
+    dec_p, score, st = gotoh_forward_lanewise(
+        jnp.asarray(match), jnp.asarray(pc), jnp.asarray(pr),
+        jnp.asarray(la), jnp.asarray(lb), interpret=True, with_bias=False)
+    dec_o, score_o, st_o = gotoh_forward_direct_np(match, pc, pr, la, lb)
+    assert np.array_equal(np.asarray(score).view(np.int32),
+                          score_o.view(np.int32))
+    assert np.array_equal(np.asarray(st), st_o)
+    dec_k = unpack_dec_lanewise(np.asarray(dec_p), L2p)
+    for b in range(B):
+        assert np.array_equal(dec_k[b, :la[b], :lb[b]],
+                              dec_o[b, :la[b], :lb[b]]), b
+    # degenerate extremes: single-cell problems
+    la1 = np.ones(B, np.int32)
+    lb1 = np.ones(B, np.int32)
+    _, s1, st1 = gotoh_forward_lanewise(
+        jnp.asarray(match), jnp.asarray(pc), jnp.asarray(pr),
+        jnp.asarray(la1), jnp.asarray(lb1), interpret=True, with_bias=False)
+    _, s1o, st1o = gotoh_forward_direct_np(match, pc, pr, la1, lb1)
+    assert np.array_equal(np.asarray(s1).view(np.int32), s1o.view(np.int32))
+    assert np.array_equal(np.asarray(st1), st1o)
