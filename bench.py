@@ -212,7 +212,7 @@ def bench_bpm(batch=256, n=512, m=512, iters=5, warmup=1,
     return cells / dt / 1e9
 
 
-def _probe_backend(timeout_s=150, retries=4, sleep_s=120):
+def _probe_backend(timeout_s=150, retries=10, sleep_s=120):
     """Guard against a wedged device transport: on remote-compile /
     tunneled setups, backend init (or the first tiny computation) can
     block for many minutes when the tunnel is stuck (observed on the
