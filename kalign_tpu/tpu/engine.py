@@ -589,11 +589,15 @@ class TpuEngine:
 
         ct = None
         if ap.consistency_anchors > 0:
+            import os
+            from kalign_tpu.utils.logging import timer
             from kalign_tpu.tpu.consistency import ConsistencyTable
             csd = sd if cons_seq_distances is None else np.asarray(cons_seq_distances)
-            ct = ConsistencyTable.build(self, codes, ap, csd,
-                                        ap.consistency_anchors,
-                                        ap.consistency_weight)
+            with timer("Consistency maps",
+                       quiet=not os.environ.get("KALIGN_TPU_TIMING_DETAIL")):
+                ct = ConsistencyTable.build(self, codes, ap, csd,
+                                            ap.consistency_anchors,
+                                            ap.consistency_weight)
 
         full = (1e-3, 0.0, 4e-3)
         if refine_mode == P.REFINE_CONFIDENT:
