@@ -27,7 +27,8 @@ import numpy as np
 KALIGN_CPU_1CORE_GCUPS = 0.18
 
 
-def bench_gotoh(batch=192, L=384, bt=192, iters=48, tries=3):
+def bench_gotoh(batch=192, L=384, bt=192, iters=48, tries=3,
+                interpret=False):
     """Batched Pallas Gotoh forward (the progressive aligner's hot loop).
 
     The iterations are CHAINED inside one jit (each launch consumes the
@@ -75,7 +76,8 @@ def bench_gotoh(batch=192, L=384, bt=192, iters=48, tries=3):
                                                rows_per_step=16,
                                                with_dec=False,
                                                with_bias=False,
-                                               pre_transposed=True)
+                                               pre_transposed=True,
+                                               interpret=interpret)
             return jnp.sum(score) * jnp.float32(1e-9)
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
 
@@ -109,7 +111,7 @@ def bench_gotoh(batch=192, L=384, bt=192, iters=48, tries=3):
 
 
 def bench_gotoh_lanewise(batch=2048, L=192, iters=24, tries=3,
-                         with_dec=True):
+                         with_dec=True, interpret=False):
     """Secondary: the problem-per-lane kernel (tpu/gotoh_lanewise.py)
     on its target workload — a full-tile batch of small problems with
     decisions on (guide-tree leaf levels / consistency maps at scale).
@@ -137,7 +139,8 @@ def bench_gotoh_lanewise(batch=2048, L=192, iters=24, tries=3,
             p = pc + c * jnp.float32(1e-9)
             _, score, _ = gotoh_forward_lanewise(m, p, pr, la, lb,
                                                  with_dec=with_dec,
-                                                 with_bias=False)
+                                                 with_bias=False,
+                                                 interpret=interpret)
             s = jnp.sum(score) * jnp.float32(1e-9)
             # one-element match perturbation: keeps the b->lanes match
             # relayout INSIDE the measured loop (a loop-invariant match
@@ -212,14 +215,19 @@ def bench_bpm(batch=256, n=512, m=512, iters=5, warmup=1,
     return cells / dt / 1e9
 
 
-def _probe_backend(timeout_s=150, retries=10, sleep_s=120):
+def _probe_backend(timeout_s=60, retries=2, sleep_s=30):
     """Guard against a wedged device transport: on remote-compile /
     tunneled setups, backend init (or the first tiny computation) can
     block for many minutes when the tunnel is stuck (observed on the
     dev chip: even jax.devices() hangs).  Probe in a SUBPROCESS under a
     timeout, retrying a few times, so a dead transport yields an error
     JSON line instead of a silent hang.  Returns None when healthy,
-    else the failure string."""
+    else the failure string.
+
+    Budget: worst case retries*(timeout_s + sleep_s) ~= 3 min — the
+    probe must never eat the global wall budget (round 3 lost its
+    perf artifact to a 10x150s+120s probe loop that outlived the
+    driver's timeout before printing a single byte)."""
     import subprocess
     code = ("import jax, jax.numpy as jnp;"
             "x = jnp.ones((128, 128));"
@@ -240,13 +248,77 @@ def _probe_backend(timeout_s=150, retries=10, sleep_s=120):
     return err
 
 
-def main():
+def _selftest():
+    """CPU smoke of the whole bench pipeline (CI-runnable anywhere):
+    every kernel path the chip bench exercises must produce a finite
+    positive throughput on tiny shapes.  Mirrors the reference's
+    always-runnable benchmark CI job."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    out = {"metric": "bench_selftest", "unit": "ok", "vs_baseline": 1.0}
+    g, w, tries = bench_gotoh(batch=8, L=64, bt=8, iters=2, tries=1,
+                              interpret=True)
+    out["gotoh_gcups"] = round(g, 4)
+    out["gotoh_wall_gcups"] = round(w, 4)
+    lw = bench_gotoh_lanewise(batch=1024, L=16, iters=2, tries=1,
+                              interpret=True)
+    out["lanewise_gcups"] = round(lw, 4)
+    b = bench_bpm(batch=8, n=64, m=64, iters=2, device_trace=True)
+    out["bpm_gcups"] = round(b, 4)
+    ok = all(np.isfinite(v) and v > 0 for v in (g, w, lw, b))
+    out["value"] = 1.0 if ok else 0.0
+    print(json.dumps(out), flush=True)
+    return 0 if ok else 1
+
+
+def _error_line(msg):
+    return json.dumps({
+        "metric": "dp_gcups_per_chip", "value": 0.0, "unit": "GCUPS",
+        "vs_baseline": 0.0, "error": msg[:200],
+    })
+
+
+def main(argv=None):
+    """Deadline discipline (round-3 lesson: the driver killed the bench
+    before it printed anything): a HARD global wall budget, enforced by
+    a watchdog thread that emits the error JSON and exits if the
+    primary metric has not been printed in time.  The primary line goes
+    to stdout the moment it exists; the lanewise/BPM secondaries run
+    only while budget remains and report on stderr (stdout carries
+    exactly ONE json line)."""
+    import argparse
+    import os
+    import threading
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--selftest", action="store_true",
+                    help="tiny-shape CPU smoke of every bench kernel")
+    ap.add_argument("--budget", type=float,
+                    default=float(os.environ.get(
+                        "KALIGN_BENCH_BUDGET_S", "480")),
+                    help="hard wall budget in seconds (default 480)")
+    args = ap.parse_args(argv)
+    if args.selftest:
+        return _selftest()
+
+    t0 = time.time()
+    deadline = t0 + args.budget
+    primary_printed = threading.Event()
+
+    def watchdog():
+        if primary_printed.wait(max(1.0, deadline - time.time())):
+            return
+        print(_error_line(
+            f"global wall budget ({args.budget:.0f}s) exceeded before "
+            "the primary metric was measured"), flush=True)
+        os._exit(0)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
     probe_err = _probe_backend()
     if probe_err is not None:
-        print(json.dumps({
-            "metric": "dp_gcups_per_chip", "value": 0.0, "unit": "GCUPS",
-            "vs_baseline": 0.0, "error": f"backend unavailable: {probe_err}",
-        }))
+        print(_error_line(f"backend unavailable: {probe_err}"),
+              flush=True)
         return 0
     try:
         gcups, wall_gcups, per_try = bench_gotoh()
@@ -259,31 +331,31 @@ def main():
             "wall_gcups": round(wall_gcups, 3),
             "tries": [round(g, 2) for g in per_try],
         }
-        import jax
-        if jax.default_backend() not in ("cpu",):
-            # secondary info: the problem-per-lane kernel on its
-            # large-batch leaf/consistency workload (with decisions);
-            # failures must not damage the primary metric
+        print(json.dumps(result), flush=True)
+        primary_printed.set()
+    except Exception as e:  # report failure visibly but in-protocol
+        print(_error_line(str(e)), flush=True)
+        return 0
+
+    # secondaries: only with >=90s budget left, results on stderr
+    # (failures or overruns can no longer damage the primary artifact)
+    import jax
+    if jax.default_backend() not in ("cpu",):
+        sec = {}
+        if deadline - time.time() >= 90:
             try:
-                result["lanewise_gcups"] = round(bench_gotoh_lanewise(), 3)
+                sec["lanewise_gcups"] = round(bench_gotoh_lanewise(), 3)
             except Exception as e:
-                result["lanewise_error"] = str(e)[:120]
-            # the bit-parallel Myers distance kernel (SURVEY's other
-            # headline kernel), device-trace timed
+                sec["lanewise_error"] = str(e)[:120]
+        if deadline - time.time() >= 90:
             try:
-                result["bpm_gcups"] = round(
+                sec["bpm_gcups"] = round(
                     bench_bpm(iters=8, device_trace=True), 3)
             except Exception as e:
-                result["bpm_error"] = str(e)[:120]
-    except Exception as e:  # report failure visibly but in-protocol
-        result = {
-            "metric": "dp_gcups_per_chip",
-            "value": 0.0,
-            "unit": "GCUPS",
-            "vs_baseline": 0.0,
-            "error": str(e)[:200],
-        }
-    print(json.dumps(result))
+                sec["bpm_error"] = str(e)[:120]
+        if sec:
+            print(json.dumps({"secondary": sec}), file=sys.stderr,
+                  flush=True)
     return 0
 
 

@@ -91,11 +91,13 @@ def build_parser():
                         "alignment into DIR (open with TensorBoard / "
                         "xprof)")
     p.add_argument("--server", default=None, metavar="SOCKET",
-                   nargs="?", const="__default__",
                    help="send this invocation to a running warm "
                         "alignment server (python -m kalign_tpu.serve) "
                         "instead of paying per-process compile/load "
-                        "costs; bare --server uses the default socket")
+                        "costs; bare --server uses the default socket, "
+                        "--server=SOCKET an explicit one (the separate-"
+                        "token form is rejected so an input file can "
+                        "never be mistaken for a socket path)")
     p.add_argument("--server-start", action="store_true",
                    help="with --server: spawn the warm server in the "
                         "background if the socket is not answering, "
@@ -137,27 +139,21 @@ def _ensure_server(sock: str, timeout: float = 900.0) -> None:
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    raw = list(sys.argv[1:]) if argv is None else list(argv)
+    # A bare --server means "the default socket".  Rewriting it to the
+    # =-form BEFORE parsing keeps argparse from consuming a following
+    # input file as the socket path (`kalign --server in.fa -o out`).
+    raw = ["--server=__default__" if tok == "--server" else tok
+           for tok in raw]
+    args = build_parser().parse_args(raw)
     if args.server is not None:
         from kalign_tpu.serve import DEFAULT_SOCKET, request
         sock = (DEFAULT_SOCKET if args.server == "__default__"
                 else args.server)
-        fwd = list(sys.argv[1:]) if argv is None else list(argv)
-        # strip the --server flags before forwarding
-        out = []
-        i = 0
-        while i < len(fwd):
-            tok = fwd[i]
-            if tok == "--server":
-                # drop the flag, and its value token when one was parsed
-                if args.server != "__default__" and i + 1 < len(fwd) \
-                        and fwd[i + 1] == args.server:
-                    i += 1
-            elif tok == "--server-start" or tok.startswith("--server="):
-                pass
-            else:
-                out.append(tok)
-            i += 1
+        # strip the --server flags before forwarding (all =-form now)
+        out = [tok for tok in raw
+               if tok != "--server-start"
+               and not tok.startswith("--server=")]
         if args.server_start:
             _ensure_server(sock)
         resp = request(sock, out)

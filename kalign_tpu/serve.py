@@ -11,14 +11,17 @@ deployment instead keeps ONE resident process and streams work through
 it — this module is that resident process.
 
 Protocol (newline-delimited JSON over a unix socket):
-  request : {"argv": [...kalign CLI args...]}
+  request : {"argv": [...kalign CLI args...], "cwd": "/client/cwd"}
   response: {"rc": int, "error": str|null, "wall_s": float}
 The server runs the standard CLI entry in-process, so every engine,
-flag and output path behaves exactly as the one-shot CLI.
+flag and output path behaves exactly as the one-shot CLI.  Requests
+are serialized (single-aligner contract) and each one runs with the
+process cwd switched to the client's cwd, so relative -i/-o paths
+resolve exactly as they would in a one-shot invocation.
 
 Usage:
   python -m kalign_tpu.serve --socket /tmp/kalign.sock   # server
-  python -m kalign_tpu.cli --server /tmp/kalign.sock -i in.fa -o out.afa
+  python -m kalign_tpu.cli --server=/tmp/kalign.sock -i in.fa -o out.afa
 """
 
 import argparse
@@ -27,30 +30,46 @@ import os
 import socket
 import socketserver
 import sys
+import threading
 import time
 
 
 DEFAULT_SOCKET = "/tmp/kalign_tpu.sock"
+
+# One request at a time: the engine is a single-aligner, and the
+# per-request chdir to the client's cwd is process-global state.
+_RUN_LOCK = threading.Lock()
 
 
 def _handle_line(line: str) -> dict:
     try:
         req = json.loads(line)
         argv = req["argv"]
+        cwd = req.get("cwd")
     except Exception as e:
         return {"rc": 2, "error": f"bad request: {e}", "wall_s": 0.0}
     from kalign_tpu import cli
     t0 = time.time()
-    try:
-        rc = cli.main(argv)
-        return {"rc": int(rc), "error": None,
-                "wall_s": round(time.time() - t0, 3)}
-    except SystemExit as e:
-        return {"rc": int(e.code or 0), "error": None,
-                "wall_s": round(time.time() - t0, 3)}
-    except Exception as e:
-        return {"rc": 1, "error": f"{type(e).__name__}: {e}",
-                "wall_s": round(time.time() - t0, 3)}
+    with _RUN_LOCK:
+        prev_cwd = os.getcwd()
+        try:
+            if cwd:
+                os.chdir(cwd)
+            rc = cli.main(argv)
+            return {"rc": int(rc), "error": None,
+                    "wall_s": round(time.time() - t0, 3)}
+        except SystemExit as e:
+            if e.code is None or isinstance(e.code, int):
+                rc, err = int(e.code or 0), None
+            else:
+                rc, err = 1, str(e.code)
+            return {"rc": rc, "error": err,
+                    "wall_s": round(time.time() - t0, 3)}
+        except Exception as e:
+            return {"rc": 1, "error": f"{type(e).__name__}: {e}",
+                    "wall_s": round(time.time() - t0, 3)}
+        finally:
+            os.chdir(prev_cwd)
 
 
 class _Handler(socketserver.StreamRequestHandler):
@@ -64,7 +83,6 @@ class _Handler(socketserver.StreamRequestHandler):
                 self.wfile.flush()
                 # threading server: shutdown must come from another
                 # thread to avoid deadlock
-                import threading
                 threading.Thread(target=self.server.shutdown,
                                  daemon=True).start()
                 return
@@ -99,7 +117,8 @@ def request(sock_path: str, argv) -> dict:
     """Client side: send one CLI invocation to a running server."""
     with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
         s.connect(sock_path)
-        s.sendall((json.dumps({"argv": list(argv)}) + "\n").encode())
+        s.sendall((json.dumps({"argv": list(argv),
+                               "cwd": os.getcwd()}) + "\n").encode())
         buf = b""
         while not buf.endswith(b"\n"):
             chunk = s.recv(65536)

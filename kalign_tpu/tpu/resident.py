@@ -495,12 +495,16 @@ def _node_positions_device(gaps_buf, posmap, seq_lens, mem_seq, mem_node,
     apos = jnp.where((col_res >= 0)[:, None, :], apos, -1)  # [M, K, Lp]
     has = apos >= 0
 
-    BIGORD = jnp.int32(1 << 20)
+    # Missing-position sentinel: strictly above every real key
+    # (max real key = (n-1)*P + (P-1) = n*P - 1) and within int32 by
+    # the caller's n*(Lt+1) < 2^31 guard.  A fixed 1<<20 multiplier
+    # overflowed int32 once Lt >= 2048 and under-ranked real keys for
+    # nodes with >= 2^20 members.
     P = Lt + 1
-    key2 = jnp.where(has, mem_ord[:, None, None] * P + apos,
-                     BIGORD * P)
+    SENT = jnp.int32(n) * jnp.int32(P)
+    key2 = jnp.where(has, mem_ord[:, None, None] * P + apos, SENT)
     seg_min = jax.ops.segment_min(key2, mem_node, num_segments=n_nodes)
-    best = jnp.where(seg_min < BIGORD * P, seg_min % P, -1)  # [N, K, Lp]
+    best = jnp.where(seg_min < SENT, seg_min % P, -1)        # [N, K, Lp]
     total = jax.ops.segment_sum(has.astype(jnp.int32), mem_node,
                                 num_segments=n_nodes)
     agree_m = has & (apos == best[mem_node])

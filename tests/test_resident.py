@@ -212,6 +212,56 @@ def test_node_positions_device_matches_host():
         assert np.allclose(conf_h, np.asarray(conf_d)[0])
 
 
+def test_node_positions_device_long_sequences():
+    """Regression (ADVICE r3): the missing-position sentinel used a
+    fixed 1<<20 multiplier that overflowed int32 once Lt >= 2048,
+    collapsing pos/conf to -1/0 whenever any node member lacked a
+    mapping — silently dropping the consistency bonus on long inputs."""
+    from kalign_tpu.tpu import resident as R
+    from kalign_tpu.tpu.consistency import ConsistencyTable
+
+    rng = np.random.default_rng(7)
+    n, K, Lt = 4, 1, 2176          # (1<<20) * (Lt+1) >> 2^31
+    lens = np.full(n, Lt - 16, np.int64)
+    pos_maps = []
+    for i in range(n):
+        m = np.full(lens[i], -1, np.int64)
+        # every second sequence maps NOTHING -> sentinel keys in play
+        if i % 2 == 0:
+            step = rng.integers(1, 3, lens[i])
+            m[:] = np.minimum(np.cumsum(step) - 1, Lt - 1)
+        pos_maps.append(m)
+    ct = ConsistencyTable(K=K, weight=2.0, anchor_ids=[0],
+                          pos_maps=pos_maps, numseq=n)
+    members = list(range(n))
+    Lpn = int(lens.max()) + 8
+    gaps_all = []
+    for i in range(n):
+        g = np.zeros(int(lens[i]) + 1, np.int64)
+        for _ in range(Lpn - int(lens[i])):
+            g[rng.integers(0, lens[i] + 1)] += 1
+        gaps_all.append(g.tolist())
+    apos_h, conf_h = ct._node_positions_all(
+        0, Lpn, {0: members}, {0: 2}, gaps_all, lens)
+    assert (apos_h >= 0).any(), "host voting produced no positions"
+    gbuf = np.zeros((n, int(lens.max()) + 2), np.int32)
+    for i in range(n):
+        gbuf[i, :len(gaps_all[i])] = gaps_all[i]
+    pmap = np.full((n, K, Lt), -1, np.int32)
+    for i in range(n):
+        pmap[i, 0, :lens[i]] = pos_maps[i]
+    pos_d, conf_d = R._node_positions_device(
+        jnp.asarray(gbuf), jnp.asarray(pmap),
+        jnp.asarray(lens.astype(np.int32)),
+        jnp.asarray(np.asarray(members, np.int32)),
+        jnp.asarray(np.zeros(len(members), np.int32)),
+        jnp.asarray(np.arange(len(members), dtype=np.int32)),
+        n_nodes=1, Lp=Lpn, K=K, dedup=False)
+    assert np.array_equal(apos_h.astype(np.int64),
+                          np.asarray(pos_d)[0].astype(np.int64))
+    assert np.allclose(conf_h, np.asarray(conf_d)[0])
+
+
 def test_sp_scores_device_matches_host():
     """Device _sp_scores (trial selection) vs the host
     sp_score_from_profiles on random paths, profiles and gap states."""

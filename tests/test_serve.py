@@ -55,11 +55,24 @@ def test_server_roundtrip_matches_cli(tmp_path):
         assert resp["rc"] == 0
         assert open(out2).read() == open(out_cli).read()
 
-        # CLI --server front-end
+        # CLI --server front-end (explicit socket is =-form only)
         out3 = str(tmp_path / "srv3.afa")
-        assert cli.main(["--server", sock, "-i", inp, "-o", out3,
+        assert cli.main([f"--server={sock}", "-i", inp, "-o", out3,
                          "-q"]) == 0
         assert open(out3).read() == open(out_cli).read()
+
+        # relative paths resolve against the CLIENT cwd, not the
+        # server's (the server process runs in a different directory)
+        os.makedirs(tmp_path / "sub", exist_ok=True)
+        cwd0 = os.getcwd()
+        os.chdir(tmp_path / "sub")
+        try:
+            assert cli.main([f"--server={sock}", "-i", inp,
+                             "-o", "rel.afa", "-q"]) == 0
+            assert open(tmp_path / "sub" / "rel.afa").read() \
+                == open(out_cli).read()
+        finally:
+            os.chdir(cwd0)
 
         shutdown(sock)
         proc.wait(timeout=30)
@@ -142,8 +155,6 @@ def test_server_flag_stripping(tmp_path, monkeypatch):
     monkeypatch.setattr(S, "request", fake_request)
     monkeypatch.setattr(cli, "_ensure_server", lambda s, timeout=900: None)
     for argv, want_sock in [
-            (["--server", "/tmp/x.sock", "-i", "in.fa", "-o", "o.afa"],
-             "/tmp/x.sock"),
             (["--server=/tmp/y.sock", "-i", "in.fa", "-o", "o.afa"],
              "/tmp/y.sock"),
             (["-i", "in.fa", "--server-start", "--server=/tmp/z.sock",
@@ -152,6 +163,13 @@ def test_server_flag_stripping(tmp_path, monkeypatch):
         assert cli.main(argv) == 0
         assert seen["sock"] == want_sock
         assert seen["argv"] == ["-i", "in.fa", "-o", "o.afa"], seen["argv"]
+
+    # bare --server never consumes a following token: `--server in.fa`
+    # means default socket + in.fa as a positional input file
+    from kalign_tpu.serve import DEFAULT_SOCKET
+    assert cli.main(["--server", "in.fa", "-o", "o.afa"]) == 0
+    assert seen["sock"] == DEFAULT_SOCKET
+    assert seen["argv"] == ["in.fa", "-o", "o.afa"], seen["argv"]
 
 
 def test_warmup_seeds_cache(tmp_path, monkeypatch):
