@@ -215,7 +215,7 @@ def bench_bpm(batch=256, n=512, m=512, iters=5, warmup=1,
     return cells / dt / 1e9
 
 
-def _probe_backend(timeout_s=60, retries=2, sleep_s=30):
+def _probe_backend(timeout_s=120, retries=2, sleep_s=10):
     """Guard against a wedged device transport: on remote-compile /
     tunneled setups, backend init (or the first tiny computation) can
     block for many minutes when the tunnel is stuck (observed on the
