@@ -7,9 +7,13 @@ the available accelerator and prints ONE json line:
   {"metric": "dp_gcups_per_chip", "value": N, "unit": "GCUPS",
    "vs_baseline": R}
 
-Workload: a level batch of 192 profile merges of ~400-residue protein
+Workload: a level batch of 256 profile merges of ~400-residue protein
 profiles (384x384 DP tiles) — the progressive aligner's steady-state
-shape on mid-size families.
+shape on mid-size families (the engine pads level batches to powers of
+two, so 256 is the real dispatched batch).  Tile config (bt=256, R=8)
+measured best among every config that still compiles under the 16 MiB
+scoped-vmem limit the 2026-08 libtpu enforces (the r1-r3 config
+bt=192/R=16 now fails AOT compile at 18.23 MiB).
 
 Baseline: reference kalign v3.5.1 (C, AVX2, single core on this image)
 measured at ~0.18 effective DP GCUPS on the same ~400aa workload
@@ -27,8 +31,8 @@ import numpy as np
 KALIGN_CPU_1CORE_GCUPS = 0.18
 
 
-def bench_gotoh(batch=192, L=384, bt=192, iters=48, tries=3,
-                interpret=False):
+def bench_gotoh(batch=256, L=384, bt=256, rows_per_step=8, iters=48,
+                tries=3, interpret=False):
     """Batched Pallas Gotoh forward (the progressive aligner's hot loop).
 
     The iterations are CHAINED inside one jit (each launch consumes the
@@ -62,26 +66,41 @@ def bench_gotoh(batch=192, L=384, bt=192, iters=48, tries=3,
     la = jnp.full((batch,), L - 3, jnp.int32)
     lb = jnp.full((batch,), L - 5, jnp.int32)
 
-    @jax.jit
-    def chained(match, pc, pr, la, lb, reps):
-        def body(_, c):
-            # chain iterations through the TINY penalty arrays, not the
-            # [L1, B, L2] match: each launch still consumes the previous
-            # scores (so nothing can be hoisted or elided), but the
-            # inter-iteration device work is an O(B*L) elementwise pass
-            # instead of a ~226 MB match rewrite that used to inflate
-            # the measured device time by ~30%
-            p = pc + c * jnp.float32(1e-9)
-            _, score, _ = gotoh_forward_pallas(match, p, pr, la, lb, bt=bt,
-                                               rows_per_step=16,
-                                               with_dec=False,
-                                               with_bias=False,
-                                               pre_transposed=True,
-                                               interpret=interpret)
-            return jnp.sum(score) * jnp.float32(1e-9)
-        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+    def make_chained(bt, R):
+        @jax.jit
+        def chained(match, pc, pr, la, lb, reps):
+            def body(_, c):
+                # chain iterations through the TINY penalty arrays, not
+                # the [L1, B, L2] match: each launch still consumes the
+                # previous scores (so nothing can be hoisted or elided),
+                # but the inter-iteration device work is an O(B*L)
+                # elementwise pass instead of a ~226 MB match rewrite
+                # that used to inflate the measured device time by ~30%
+                p = pc + c * jnp.float32(1e-9)
+                _, score, _ = gotoh_forward_pallas(match, p, pr, la, lb,
+                                                   bt=bt, rows_per_step=R,
+                                                   with_dec=False,
+                                                   with_bias=False,
+                                                   pre_transposed=True,
+                                                   interpret=interpret)
+                return jnp.sum(score) * jnp.float32(1e-9)
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+        return chained
 
-    float(chained(match, pc, pr, la, lb, 1))   # compile + warmup
+    # preferred measured-best tile first; if the toolchain's scoped-vmem
+    # accounting shifts again (a libtpu update broke the r1-r3 config at
+    # compile time), fall back to the production planner's choice so the
+    # bench DEGRADES instead of erroring out
+    chained = make_chained(bt, rows_per_step)
+    try:
+        float(chained(match, pc, pr, la, lb, 1))   # compile + warmup
+    except Exception:
+        from kalign_tpu.tpu.gotoh_pallas import pick_plan
+        bt, rows_per_step, feasible = pick_plan(batch, L)
+        if not feasible:
+            raise
+        chained = make_chained(bt, rows_per_step)
+        float(chained(match, pc, pr, la, lb, 1))
     cells = batch * L * L
 
     dev_sub = "TPU" if jax.default_backend() not in ("cpu",) else "CPU"
