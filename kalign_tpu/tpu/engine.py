@@ -208,10 +208,14 @@ class TpuEngine:
         self.use_pallas = use_pallas
         self.mesh = mesh
         # problem-per-lane kernel routing for full-tile batches:
-        # "1" = on where feasible, "0" (default) = off,
-        # "interpret" = force it in interpret mode (CPU differential
-        # tests of the integrated path)
-        self.lanewise = os.environ.get("KALIGN_TPU_LANEWISE", "0")
+        # "1" (default) = on where feasible, "0" = off, "interpret" =
+        # force it in interpret mode (CPU differential tests of the
+        # integrated path).  Default-on since the chip A/B (2026-08-18):
+        # on its target workload (2048 problems, 192x192, decisions on)
+        # the lanewise kernel measures 13.7 device-trace GCUPS vs 3.2
+        # for the row kernel (bt=128/R=16 plan) — the in-row prefix
+        # scan and decision packing dominate the row kernel there.
+        self.lanewise = os.environ.get("KALIGN_TPU_LANEWISE", "1")
 
     def _lanewise_ok(self, Bp: int, L1p: int, L2p: int) -> bool:
         if self.lanewise not in ("1", "interpret"):
