@@ -204,6 +204,20 @@ def resolve_auto_engine(msa: Optional[Msa] = None) -> str:
     return "tpu-mesh" if len(jax.devices()) > 1 else "tpu-fast"
 
 
+def _autoroute_cap() -> int:
+    """Family-size ceiling for divergent-family auto-routing to the
+    bit-exact engine (KALIGN_TPU_AUTOROUTE_MAX, default 16384).  Round
+    3 capped it at 2048 out of caution; the exact engine's batched
+    pairwise + level-batched merge hooks scale well past that, and
+    divergent families are exactly where its accuracy is worth the
+    latency."""
+    import os as _os
+    try:
+        return int(_os.environ.get("KALIGN_TPU_AUTOROUTE_MAX", "16384"))
+    except ValueError:
+        return 16384
+
+
 def get_engine(name: str = "host", n_threads: int = 1, mesh=None):
     """'host' = native C++ core; 'tpu' = bit-exact device engine (DP on
     the accelerator, column-identical to the reference); 'tpu-fast' =
@@ -333,9 +347,13 @@ def align_msa(msa: Msa, n_threads: int = 1, type_: int = 0,
     # hardest (BB30014: TC 0.45 vs host 0.47).  Families whose mean
     # normalized anchor distance exceeds 0.5 (well above the hardest
     # DSSim sweeps at ~0.44, below only genuinely divergent sets) route
-    # to the bit-exact device engine when small enough that the exact
-    # path's latency is immaterial.  Opt out: KALIGN_TPU_NO_AUTOROUTE=1.
-    if engine in ("tpu-fast", "tpu-mesh") and msa.numseq <= 2048:
+    # to the bit-exact device engine up to a size cap (the exact
+    # engine's batched pairwise/merge hooks scale well past the old
+    # 2048 ceiling; accuracy-critical divergent families accept its
+    # higher latency).  Tune: KALIGN_TPU_AUTOROUTE_MAX=N; opt out:
+    # KALIGN_TPU_NO_AUTOROUTE=1.
+    if engine in ("tpu-fast", "tpu-mesh") \
+            and msa.numseq <= _autoroute_cap():
         import os as _os
         if not _os.environ.get("KALIGN_TPU_NO_AUTOROUTE"):
             mean_sd = float(np.mean(np.asarray(seq_dist, np.float64)))
