@@ -33,17 +33,39 @@ _EXTERNAL = {
     "clustalo": ["clustalo", "-i", "{in}", "-o", "{out}", "--force"],
     "mafft": ["mafft", "--quiet", "{in}"],          # writes stdout
     "muscle": ["muscle", "-align", "{in}", "-output", "{out}"],
+    # the reference kalign binary itself (an out-of-tree build or one
+    # on PATH) — the apples-to-apples external comparison
+    "kalign-ref": ["{kalign-ref}", "-i", "{in}", "-o", "{out}", "-q"],
 }
 
 
+def _kalign_ref_bin():
+    """Reference kalign binary: $KALIGN_REF_BIN, the out-of-tree
+    .refbuild (CLAUDE.md parity-testing setup), or one on PATH."""
+    cand = os.environ.get("KALIGN_REF_BIN")
+    if cand and os.access(cand, os.X_OK):
+        return cand
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cand = os.path.join(here, ".refbuild", "src", "kalign")
+    if os.access(cand, os.X_OK):
+        return cand
+    return shutil.which("kalign")
+
+
+def _tool_available(tool):
+    if tool == "kalign-ref":
+        return _kalign_ref_bin() is not None
+    return shutil.which(tool) is not None
+
+
 def available_external_tools():
-    return [t for t in _EXTERNAL if shutil.which(t)]
+    return [t for t in _EXTERNAL if _tool_available(t)]
 
 
 def score_external(tool, seqs, names, gold_rows, gold_names, timeout=600):
     """Align with an external tool (if installed) and score against the
     same gold; returns None when the tool is unavailable."""
-    if shutil.which(tool) is None:
+    if not _tool_available(tool):
         return None
     from kalign_tpu.core import io as kio
     with tempfile.TemporaryDirectory() as td:
@@ -53,6 +75,7 @@ def score_external(tool, seqs, names, gold_rows, gold_names, timeout=600):
             for n, s in zip(names, seqs):
                 fh.write(f">{n}\n{s}\n")
         cmd = [a.replace("{in}", fin).replace("{out}", fout)
+               .replace("{kalign-ref}", _kalign_ref_bin() or "kalign")
                for a in _EXTERNAL[tool]]
         t0 = time.time()
         try:
