@@ -110,7 +110,7 @@ def _dist_chunk(tok, tsrc, psrc, tlen, plen, max_steps, bt, pat_w, sub,
 
 def pallas_anchor_distances(tokens: np.ndarray, lengths: np.ndarray,
                             anchors: Sequence[int], bt: int = 2048,
-                            chunk: int = 524288,
+                            chunk: int = None,
                             interpret: bool = False) -> np.ndarray:
     """Single-device fast path: all N*K (sequence, anchor) pairs flow
     through the Pallas bit-parallel kernel (tpu/bpm_pallas.py), with the
@@ -122,6 +122,13 @@ def pallas_anchor_distances(tokens: np.ndarray, lengths: np.ndarray,
     host-side pair expansion moved ~0.5 GB through the tunnel in ~400
     launches and wedged the transport).  Returns raw integer distances
     [N, K] (no length bias)."""
+    if chunk is None:
+        # per-dispatch pair count: bounded so ONE dispatch stays well
+        # under the transport's single-execution kill limit (~60-90s
+        # device time, measured 2026-08-18) even in slow bands; at 100k
+        # seqs x 32 anchors this is ~13 dispatches instead of 7
+        import os
+        chunk = int(os.environ.get("KALIGN_TPU_DIST_CHUNK", "262144"))
     N, Lmax = tokens.shape
     K = len(anchors)
     anchors = np.asarray(anchors, np.int32)

@@ -288,8 +288,19 @@ class TpuEngine:
                                                build_tree_device_fused)
             # fused = the whole recursion in ONE program (one dispatch,
             # one fetch); per-depth path kept as the fallback for
-            # pathologically deep splits and as an opt-out
-            if os.environ.get("KALIGN_TPU_TREE") != "bucketed":
+            # pathologically deep splits and as an opt-out.  The fused
+            # program's device time grows with n (all depths + every
+            # Lloyd iteration in one dispatch) and the axon transport
+            # KILLS single executions beyond ~60-90s device time
+            # (measured 2026-08-18: a pure matmul chain dies between
+            # ~30s and ~90s; the fused tree at n=65536 reproducibly
+            # crashed the worker).  Above the cap the per-depth
+            # bucketed path — many bounded dispatches — is the safe
+            # and still-fast route.
+            fused_max = int(os.environ.get("KALIGN_TPU_FUSED_TREE_MAX",
+                                           "32768"))
+            if os.environ.get("KALIGN_TPU_TREE") != "bucketed" \
+                    and n <= fused_max:
                 res = build_tree_device_fused(self, codes, dm, n_anchors)
                 if res is not None:
                     return res

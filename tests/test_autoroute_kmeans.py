@@ -89,6 +89,45 @@ def test_autoroute_cap_lifted_above_2048(monkeypatch):
     assert m2.aligned != 0
 
 
+def test_fused_tree_gated_by_size(monkeypatch):
+    """The fused whole-recursion k-means program's device time grows
+    with n inside ONE dispatch; above KALIGN_TPU_FUSED_TREE_MAX the
+    per-depth bucketed path (many bounded dispatches) must be used —
+    the axon transport kills single executions beyond ~60-90s device
+    time (n=65536 reproducibly crashed the TPU worker, 2026-08-18)."""
+    from kalign_tpu.tpu import engine as TE
+    from kalign_tpu.tpu import kmeans as KM
+    from kalign_tpu.dssim import generate_test_sequences
+    import kalign_tpu.tpu.kmeans as kmod
+
+    monkeypatch.setenv("KALIGN_TPU_DEVICE_TREE", "1")
+    monkeypatch.setenv("KALIGN_TPU_FUSED_TREE_MAX", "64")
+    monkeypatch.delenv("KALIGN_TPU_TREE", raising=False)
+    called = {"fused": 0, "bucketed": 0}
+    orig_f, orig_b = KM.build_tree_device_fused, KM.build_tree_device
+
+    def spy_f(*a, **k):
+        called["fused"] += 1
+        return orig_f(*a, **k)
+
+    def spy_b(*a, **k):
+        called["bucketed"] += 1
+        return orig_b(*a, **k)
+    monkeypatch.setattr(kmod, "build_tree_device_fused", spy_f)
+    monkeypatch.setattr(kmod, "build_tree_device", spy_b)
+
+    seqs, names = generate_test_sequences(n_seq=96, length=60, seed=3)
+    codes = [np.frombuffer(s.encode(), np.uint8) % 13 for s in seqs]
+    eng = TE.TpuEngine(use_pallas=False)
+    dm = eng.host.anchor_distances(codes, list(range(8)))
+    eng.build_tree(codes, dm, 8)
+    assert called == {"fused": 0, "bucketed": 1}, called
+
+    monkeypatch.setenv("KALIGN_TPU_FUSED_TREE_MAX", "128")
+    eng.build_tree(codes, dm, 8)
+    assert called["fused"] == 1, called
+
+
 def test_device_tree_quality_parity(monkeypatch):
     """The device-batched k-means tree (tpu/kmeans.py) must produce
     alignments at least as good as the native tree on a simulated
