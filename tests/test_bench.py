@@ -56,3 +56,32 @@ def test_bench_error_line_is_protocol_shaped():
     import bench
     out = json.loads(bench._error_line("boom"))
     assert set(out) >= {"metric", "value", "unit", "vs_baseline", "error"}
+
+
+def test_scale_run_end_to_end_tiny(tmp_path):
+    """benchmarks.scale_run: generates+caches the family, runs the
+    pipeline in-process, prints one parseable JSON line with phases."""
+    import io
+    from contextlib import redirect_stdout
+    from benchmarks import scale_run
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = scale_run.main(["--n", "64", "--length", "80", "--dna",
+                             "--mode", "fast", "--engine", "host",
+                             "--cache-dir", str(tmp_path),
+                             "--out", str(tmp_path / "r.json")])
+    assert rc == 0
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["n"] == 64 and out["wall_s"] > 0
+    assert "Alignment" in out["phases"]
+    assert (tmp_path / "r.json").exists()
+    # the family file is cached: a second run must reuse it
+    fams = list(tmp_path.glob("dssim_*.fa"))
+    assert len(fams) == 1
+
+
+def test_scale_run_phase_parser():
+    from benchmarks.scale_run import parse_phase_log
+    text = ("[2026-08-19 04:28:03] :     LOG :   guide tree took "
+            "0.5301 seconds.\n[x] :     LOG : Aligning\n")
+    assert parse_phase_log(text) == {"guide tree": 0.5301}
