@@ -40,7 +40,9 @@ def ensure_family(cache_dir, n, length, dna, seed, n_obs, quiet=False):
     t0 = time.time()
     seqs, names = generate_test_sequences(n_seq=n, n_obs=n_obs, dna=dna,
                                           length=length, seed=seed)
-    tmp = path + ".tmp"
+    # pid-unique tmp name: concurrent runs with identical params must
+    # not clobber each other's partial writes before os.replace
+    tmp = f"{path}.{os.getpid()}.tmp"
     with open(tmp, "w") as f:
         for nm, s in zip(names, seqs):
             f.write(f">{nm}\n{s}\n")
@@ -62,7 +64,11 @@ def parse_phase_log(text):
     for line in text.splitlines():
         m = _PHASE_RE.search(line.strip())
         if m:
-            phases[m.group(1).strip()] = float(m.group(2))
+            # accumulate: a timer label can fire once per pass (e.g.
+            # "Alignment" under --realign / ensemble), and the phase
+            # total must cover every pass, not just the last one
+            name = m.group(1).strip()
+            phases[name] = phases.get(name, 0.0) + float(m.group(2))
     return phases
 
 
@@ -110,11 +116,18 @@ def main(argv=None):
             sys.__stderr__.flush()
 
     t0 = time.time()
-    with contextlib.redirect_stderr(_Tee()):
-        rc = kcli.main(argv_cli)
+    try:
+        with contextlib.redirect_stderr(_Tee()):
+            rc = kcli.main(argv_cli)
+    except SystemExit as e:  # argparse errors inside the CLI
+        rc = e.code if isinstance(e.code, int) else 2
     wall = time.time() - t0
     if rc not in (0, None):
-        print(json.dumps({"error": f"cli rc={rc}", "wall_s": wall}))
+        line = json.dumps({"error": f"cli rc={rc}", "wall_s": wall})
+        print(line)
+        if args.out:  # automation must see the failure, not a stale file
+            with open(args.out, "w") as f:
+                f.write(line + "\n")
         return 1
 
     result = {

@@ -32,9 +32,11 @@ def test_bench_selftest_cpu():
     assert out["metric"] == "bench_selftest" and out["value"] == 1.0, out
 
 
-def test_bench_emits_error_json_within_budget(tmp_path):
-    """If the probe/measurement path wedges, the watchdog must print
-    the protocol error line and exit before the budget elapses."""
+def test_bench_emits_fallback_json_within_budget(tmp_path):
+    """If the probe/measurement path wedges, the watchdog must print a
+    protocol line before the budget elapses — and with a committed
+    last-good artifact present, that line carries the labeled FALLBACK
+    value instead of a value-less error (VERDICT r4 item 2)."""
     hang = (
         "import sys; sys.path.insert(0, %r)\n"
         "import time\n"
@@ -49,13 +51,52 @@ def test_bench_emits_error_json_within_budget(tmp_path):
     assert lines, f"no output; stderr: {r.stderr[-500:]}"
     out = json.loads(lines[-1])
     assert out["metric"] == "dp_gcups_per_chip"
-    assert out["value"] == 0.0 and "budget" in out.get("error", ""), out
+    assert out.get("fallback") is True and out["value"] > 0, out
+    assert "budget" in out.get("live_error", ""), out
 
 
 def test_bench_error_line_is_protocol_shaped():
     import bench
     out = json.loads(bench._error_line("boom"))
     assert set(out) >= {"metric", "value", "unit", "vs_baseline", "error"}
+
+
+def test_bench_fallback_line(monkeypatch, tmp_path):
+    import bench
+    # with the committed artifact: labeled fallback with its value
+    out = json.loads(bench._fallback_line("backend unavailable: x"))
+    assert out["fallback"] is True and out["value"] > 0
+    assert out["live_error"].startswith("backend unavailable")
+    # without any artifact: degrade to the value-less error line
+    monkeypatch.setattr(bench, "_last_good_path",
+                        lambda: str(tmp_path / "missing.json"))
+    out2 = json.loads(bench._fallback_line("boom"))
+    assert out2["value"] == 0.0 and out2["error"] == "boom"
+
+
+def test_probe_backend_spends_budget(monkeypatch):
+    """The probe must keep retrying until its deadline, not surrender
+    after a fixed retry count (round 4 lost the artifact that way)."""
+    import time as _time
+    import bench
+    calls = []
+
+    class FakeCompleted:
+        returncode = 1
+        stdout = ""
+        stderr = "transient"
+
+    def fake_run(*a, **k):
+        calls.append(_time.time())
+        return FakeCompleted()
+
+    monkeypatch.setattr(bench.subprocess if hasattr(bench, "subprocess")
+                        else __import__("subprocess"), "run", fake_run)
+    t0 = _time.time()
+    err = bench._probe_backend(until=t0 + 8.0, attempt_timeout_s=1,
+                               sleep_s=1)
+    assert err is not None
+    assert len(calls) >= 2, calls  # retried, not one-shot
 
 
 def test_scale_run_end_to_end_tiny(tmp_path):
@@ -75,9 +116,19 @@ def test_scale_run_end_to_end_tiny(tmp_path):
     assert out["n"] == 64 and out["wall_s"] > 0
     assert "Alignment" in out["phases"]
     assert (tmp_path / "r.json").exists()
-    # the family file is cached: a second run must reuse it
+    # the family file is cached: a second run must reuse it (the
+    # os.path.exists early-return), leaving the mtime untouched
     fams = list(tmp_path.glob("dssim_*.fa"))
     assert len(fams) == 1
+    mtime0 = fams[0].stat().st_mtime_ns
+    with redirect_stdout(io.StringIO()):
+        rc = scale_run.main(["--n", "64", "--length", "80", "--dna",
+                             "--mode", "fast", "--engine", "host",
+                             "--cache-dir", str(tmp_path)])
+    assert rc == 0
+    fams2 = list(tmp_path.glob("dssim_*.fa"))
+    assert len(fams2) == 1
+    assert fams2[0].stat().st_mtime_ns == mtime0
 
 
 def test_scale_run_phase_parser():
@@ -85,3 +136,7 @@ def test_scale_run_phase_parser():
     text = ("[2026-08-19 04:28:03] :     LOG :   guide tree took "
             "0.5301 seconds.\n[x] :     LOG : Aligning\n")
     assert parse_phase_log(text) == {"guide tree": 0.5301}
+    # duplicate labels (one per pass under --realign/ensemble) accumulate
+    text2 = ("[a] :     LOG : Alignment took 1.5 seconds.\n"
+             "[b] :     LOG : Alignment took 2.25 seconds.\n")
+    assert parse_phase_log(text2) == {"Alignment": 3.75}
