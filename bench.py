@@ -184,7 +184,12 @@ def bench_gotoh_lanewise(batch=2048, L=192, iters=24, tries=3,
 
 
 def bench_bpm(batch=256, n=512, m=512, iters=5, warmup=1,
-              device_trace=False):
+              device_trace=False, pallas=False):
+    """pallas=True measures the PRODUCTION distance path — the Pallas
+    kernel (tpu/bpm_pallas.py) with the static block count the distance
+    stage passes (ceil(m/64) of MAX_PATTERN's 16) — at a full-tile
+    batch.  The default XLA path remains for CPU selftests and as the
+    multi-device-mesh number."""
     import jax
     import jax.numpy as jnp
     from kalign_tpu.tpu import bpm
@@ -196,8 +201,16 @@ def bench_bpm(batch=256, n=512, m=512, iters=5, warmup=1,
     peq = bpm.build_peq(jnp.asarray(pats), mlen)
     nlen = jnp.full((batch,), n, jnp.int32)
     max_steps = n + bpm.WORD
+    if pallas:
+        from kalign_tpu.tpu.bpm_pallas import bpm_batch_pallas
+        nblk = max(1, (m + bpm.WORD - 1) // bpm.WORD)
+
+        def run(t, nn, pq, mm, ms):
+            return bpm_batch_pallas(t, nn, pq, mm, ms, bt=1024, nblk=nblk)
+    else:
+        run = bpm.bpm_batch
     for _ in range(warmup):
-        out = bpm.bpm_batch(texts, nlen, peq, mlen, max_steps)
+        out = run(texts, nlen, peq, mlen, max_steps)
     out.block_until_ready()
     cells = batch * n * m
     if device_trace:
@@ -212,7 +225,7 @@ def bench_bpm(batch=256, n=512, m=512, iters=5, warmup=1,
         def chained(texts, nlen, peq, mlen, reps):
             def body(_, carry):
                 t, acc = carry
-                d = bpm.bpm_batch(t, nlen, peq, mlen, max_steps)
+                d = run(t, nlen, peq, mlen, max_steps)
                 s = jnp.sum(d)
                 t = t.at[0, 0].set((s % 13).astype(jnp.uint8))
                 return (t, acc + s)
@@ -228,7 +241,7 @@ def bench_bpm(batch=256, n=512, m=512, iters=5, warmup=1,
             return cells * iters / box["device_s"] / 1e9
     t0 = time.time()
     for _ in range(iters):
-        out = bpm.bpm_batch(texts, nlen, peq, mlen, max_steps)
+        out = run(texts, nlen, peq, mlen, max_steps)
     out.block_until_ready()
     dt = (time.time() - t0) / iters
     return cells / dt / 1e9
@@ -426,8 +439,12 @@ def main(argv=None):
                 sec["lanewise_error"] = str(e)[:120]
         if deadline - time.time() >= 90:
             try:
+                # the production distance path: Pallas kernel, full-tile
+                # batch, static nblk sized to the pattern (distance
+                # stage shape: ~400-char texts, ~320-char patterns)
                 sec["bpm_gcups"] = round(
-                    bench_bpm(iters=8, device_trace=True), 3)
+                    bench_bpm(batch=2048, n=400, m=320, iters=8,
+                              device_trace=True, pallas=True), 3)
             except Exception as e:
                 sec["bpm_error"] = str(e)[:120]
         if sec:

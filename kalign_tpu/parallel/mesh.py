@@ -93,6 +93,10 @@ def _dist_chunk(tok, tsrc, psrc, tlen, plen, max_steps, bt, pat_w, sub,
     from kalign_tpu.tpu.bpm_pallas import bpm_batch_pallas
 
     S = tsrc.shape[0] // sub
+    # patterns are at most pat_w chars (static), so the kernel only
+    # needs ceil(pat_w / 64) of the 16 MAX_PATTERN blocks — at 150-nt
+    # DNA anchors the per-character block work drops >4x
+    nblk = max(1, (pat_w + bpm.WORD - 1) // bpm.WORD)
 
     def one(args):
         ts, ps, nn, mm = args
@@ -101,7 +105,7 @@ def _dist_chunk(tok, tsrc, psrc, tlen, plen, max_steps, bt, pat_w, sub,
         pats = pats.at[:, :pat_w].set(jnp.take(tok, ps, axis=0)[:, :pat_w])
         peq = bpm.build_peq(pats, mm)
         return bpm_batch_pallas(texts, nn, peq, mm, max_steps, bt=bt,
-                                interpret=interpret)
+                                interpret=interpret, nblk=nblk)
 
     return jax.lax.map(one, (tsrc.reshape(S, sub), psrc.reshape(S, sub),
                              tlen.reshape(S, sub),

@@ -2,7 +2,9 @@
 
 The row kernel (tpu/gotoh_pallas.py) maps one problem's DP row to the
 VPU lanes; the affine gap-in-row state then needs an in-row max-plus
-prefix scan — log2(W) masked rolls that are ~45% of its per-cell cost.
+prefix scan — log2(W) masked rolls that are ~45% of its per-cell cost
+(and the pattern the 2026-08 libtpu compiles ~3x worse than its
+predecessor — BENCHMARKS.md round-4 session).
 
 This kernel removes the scan by mapping PROBLEMS to the lanes instead
 (the classic inter-task SIMD layout, cf. the OpenMP collapse(2) loop
@@ -12,11 +14,24 @@ over independent pairwise problems in the reference,
   * a batch tile is 1024 problems shaped [8, 128] — exactly one native
     VPU tile; every per-cell quantity is an [8, 128] vector across
     problems and every operation is a full-utilization elementwise op.
-  * the DP walks rows in the grid and columns in an in-kernel
-    fori_loop; the gap-in-row recurrence
+  * the gap-in-row recurrence
         GA[i][j] = max(GA[i][j-1] + ge[j], A[i][j-1] + go[j])
-    is computed DIRECTLY — the j-1 values are the loop carry, so there
+    is computed DIRECTLY — the j-1 values are loop carries, so there
     is no scan, no roll, and no cross-lane communication at all.
+  * ROW BLOCKS (round 5): each grid step advances R rows across an
+    in-kernel column loop.  Rows r=1..R-1 read row r-1's freshly
+    computed values from REGISTERS, so the per-column VMEM traffic
+    (state load/store, column penalties) is amortised R-fold:
+    ~(9 + 1.25R)/R VMEM ops per cell vs ~10 at R=1 — the r4 chip
+    profile showed the R=1 kernel VMEM-bound at 12% VPU utilisation.
+  * COLUMN TILES (round 5): the match / decision / column-penalty
+    streams block into CT tiles of L2t columns (grid axis, innermost),
+    so wide problems no longer need the whole row's streams resident —
+    only the 3-row state scratch spans the full width.  The inter-tile
+    boundary (R rows x 3 states + the goB[j-1] carry) passes through a
+    small VMEM scratch between consecutive grid steps.  This is what
+    lets mid-size merges (the 384x384 steady-state bench shape) take
+    this kernel instead of the scan-based row kernel.
   * per-problem lengths/penalties ride as [8, 128] vectors; terminal
     handling is one compare + selects per cell (no data-dependent
     control flow).
@@ -24,11 +39,12 @@ over independent pairwise problems in the reference,
     as (32, 128) against an 8-sublane block — int32 nibble packing
     keeps the store shape native and the HBM traffic at 1 B/cell).
 
-Use it when the batch is big and the problems are small: guide-tree
-leaf levels and anchor-consistency map batches (N x K pairwise
-problems, reference anchor_consistency.c:246-267) run thousands of
-~200-residue problems per launch at 16k-100k sequence scale.  Wide
-problems and small batches stay on the row kernel.
+Use it when the batch is big: guide-tree leaf levels and
+anchor-consistency map batches (N x K pairwise problems, reference
+anchor_consistency.c:246-267) run thousands of ~200-residue problems
+per launch at 16k-100k sequence scale, and mid-tree profile merges
+batch 1024+ problems of 256-512 columns.  Very wide problems and
+small batches stay on the row kernel.
 
 Float caveat: the direct recurrence rounds GA differently from the row
 kernel's scan transform (which factors C[j] out of the max), so paths
@@ -36,8 +52,9 @@ can differ on near-score-ties.  Both are score-optimal; the engines
 that use this kernel (tpu-fast family) already carry that contract.
 The numpy oracle `gotoh_forward_direct_np` reproduces this kernel's
 float op order exactly — decisions and scores are asserted BITWISE
-against it in tests/test_gotoh_lanewise.py.
-"""
+against it in tests/test_gotoh_lanewise.py (row blocks and column
+tiles do not change the per-cell op order, so one oracle covers every
+(R, L2t) plan)."""
 
 import functools
 
@@ -58,144 +75,209 @@ DEC_GA_EXT = 4
 DEC_GB_EXT = 8
 
 
-def lanewise_vmem_bytes(L2p: int) -> int:
-    """Resident VMEM of one kernel instance: state scratch, colpen,
-    ga0, plus double-buffered match-in and packed dec-out blocks."""
+def lanewise_vmem_bytes(L2p: int, R: int = 1, L2t: int = None,
+                        ncp: int = 4) -> int:
+    """VMEM of one kernel instance at row-block R and column-tile L2t:
+    full-width state scratch + double-buffered match/colpen/ga0/dec/
+    rowpen streams over one tile + the boundary scratch."""
+    if L2t is None:
+        L2t = L2p
     f = 4
     tile = 8 * 128
-    return (3 * L2p * tile * f        # state scratch
-            + 4 * L2p * tile * f      # colpen (resident, 4 slots)
-            + L2p * tile * f          # ga0 (resident)
-            + 2 * L2p * tile * f      # match in, double-buffered
-            + 2 * (L2p // PACK) * tile * f   # dec out, double-buffered
-            + 2 * 6 * tile * f        # rowpen stream
-            + 4 * tile * f)           # lab/bias/score/state pads
+    return (3 * L2p * tile * f            # state scratch (full width)
+            + 2 * R * L2t * tile * f      # match in, double-buffered
+            + 2 * ncp * L2t * tile * f    # colpen stream
+            + 2 * L2t * tile * f          # ga0 stream
+            + 2 * R * (L2t // PACK) * tile * f   # dec out (int32 nibbles)
+            + 2 * R * 7 * tile * f        # rowpen stream
+            + (3 * (R + 1) + 1) * tile * f  # boundary scratch
+            + 8 * tile * f)               # lab/bias/score/state pads
+
+
+def lanewise_plan(B: int, L1p: int, L2p: int,
+                  vmem_budget: int = 11 * 2**20):
+    """Choose (R, L2t, feasible) for the kernel.
+
+    Prefers more rows per step first (VMEM ops per cell fall as
+    ~(9 + 1.25R)/R), then the widest column tile that fits the budget.
+    The 11 MiB budget is against the 16 MiB scoped-vmem limit the
+    2026-08 libtpu enforces at AOT compile time, leaving headroom for
+    Mosaic's own buffering.  KALIGN_TPU_LANEWISE_PLAN="R,L2t"
+    overrides for on-chip tuning."""
+    import os
+    if B % BT or B < BT or L2p % PACK:
+        return 0, 0, False
+    ov = os.environ.get("KALIGN_TPU_LANEWISE_PLAN")
+    if ov:
+        r, l2t = (int(x) for x in ov.split(","))
+        return r, l2t, True
+    tiles = [L2p // ct for ct in range(1, 9)
+             if L2p % ct == 0 and (L2p // ct) % PACK == 0]
+    for R in (4, 8, 2, 1):
+        if L1p % R:
+            continue
+        for L2t in tiles:
+            if lanewise_vmem_bytes(L2p, R, L2t) <= vmem_budget:
+                return R, L2t, True
+    return 0, 0, False
 
 
 def lanewise_feasible(B: int, L1p: int, L2p: int,
-                      vmem_budget: int = 13 * 2**20) -> bool:
-    """This kernel wants batches >= one full 1024-problem tile and
-    narrow-enough problems for the resident column state.
-
-    The budget is looser than the row kernel's 9 MiB because this
-    kernel's VMEM is dominated by RESIDENT buffers (state scratch,
-    colpen, ga0 — Mosaic does not double-buffer those); the streamed
-    match/dec windows it does buffer are ~2.5 MiB at L2p=256.  Verify
-    against the scoped-vmem limit on chip before raising further."""
-    return (B % BT == 0 and B >= BT and L2p % PACK == 0
-            and lanewise_vmem_bytes(L2p) <= vmem_budget)
+                      vmem_budget: int = 11 * 2**20) -> bool:
+    """Full-tile batches (multiples of 1024 problems) whose width fits
+    a feasible (R, L2t) plan."""
+    return lanewise_plan(B, L1p, L2p, vmem_budget)[2]
 
 
 def _kernel(lab_ref, bias_ref, match_ref, rowpen_ref, colpen_ref, ga0_ref,
-            dec_ref, score_ref, state_ref, S_ref,
-            *, L1p, L2p, with_dec, with_bias, unroll):
+            dec_ref, score_ref, state_ref, S_ref, bnd_ref, gpb_ref,
+            *, L1p, L2p, L2t, R, CT, with_dec, with_bias, unroll):
+    """Grid (NB, L1p//R, CT), CT innermost.  One step advances rows
+    [i*R+1, (i+1)*R] over columns [ct*L2t+1, (ct+1)*L2t]; rows chain
+    through registers, the column-tile boundary chains through the
+    bnd/gpb scratch between consecutive grid steps (ct-1 -> ct), and
+    the previous row block's values live in the full-width S scratch.
+
+    bnd_ref layout: slot 0 = row i*R's state at the boundary column
+    (the diag entry for block row 0), slots 1..R = block rows' states
+    at the boundary column (left entries).  gpb_ref carries goB[j-1]
+    across the tile boundary."""
     i = pl.program_id(1)
-    row = i + 1
+    ct = pl.program_id(2)
+    L1R = L1p // R
 
     la_v = lab_ref[0, 0]            # [8, 128] int32
     lb_v = lab_ref[0, 1]
+    neg = jnp.full((8, 128), NEG)
 
     @pl.when(i == 0)
-    def _init():
-        S_ref[0] = jnp.full((L2p, 8, 128), NEG)    # A row 0, cols >= 1
-        S_ref[1] = ga0_ref[0, 0]                   # GA row 0
-        S_ref[2] = jnp.full((L2p, 8, 128), NEG)    # GB row 0
+    def _init_tile():
+        # row-0 state for this tile's columns
+        S_ref[0, pl.ds(ct * L2t, L2t)] = jnp.full((L2t, 8, 128), NEG)
+        S_ref[1, pl.ds(ct * L2t, L2t)] = ga0_ref[0, 0]
+        S_ref[2, pl.ds(ct * L2t, L2t)] = jnp.full((L2t, 8, 128), NEG)
 
-    goA_i = rowpen_ref[0, 0, 0]
-    geA_i = rowpen_ref[0, 0, 1]
-    tgeA_i = rowpen_ref[0, 0, 2]
-    goA_prev = rowpen_ref[0, 0, 3]
-    gb0_prev = rowpen_ref[0, 0, 4]   # GB[row-1, 0]
+    @pl.when(ct == 0)
+    def _init_bnd():
+        # analytic DP column 0 (oracle: A[0,0]=0, A[i>0,0]=NEG,
+        # GA[:,0]=NEG, GB[row,0]=cum_tgeA[row-1] unfrozen — rows past
+        # la only ever feed discarded cells)
+        bnd_ref[0, 0] = jnp.where(i == 0, jnp.zeros((8, 128), jnp.float32),
+                                  neg)
+        bnd_ref[0, 1] = neg
+        bnd_ref[0, 2] = rowpen_ref[0, 0, 4]          # GB[i*R, 0]
+        for r in range(R):
+            bnd_ref[1 + r, 0] = neg
+            bnd_ref[1 + r, 1] = neg
+            bnd_ref[1 + r, 2] = rowpen_ref[0, r, 6]  # GB[i*R+r+1, 0]
+        gpb_ref[0] = bias_ref[0, 1]                  # goB[0]
 
-    row_valid = la_v >= row
-    is_last_row = la_v == row
+    # per-row scalars for the R block rows (hoisted out of the column
+    # loop; [8, 128] vectors across problems)
+    goA_i = [rowpen_ref[0, r, 0] for r in range(R)]
+    geA_i = [rowpen_ref[0, r, 1] for r in range(R)]
+    tgeA_i = [rowpen_ref[0, r, 2] for r in range(R)]
+    goA_prev = [rowpen_ref[0, r, 3] for r in range(R)]
     if with_bias:
-        # row_term (= row * slope * eps) is a precomputed rowpen slot
-        # for the same reason cols_eps is a colpen slot: no in-kernel
-        # mul may feed the bias sub, or the compiler can contract it
-        # into an FMA and break bitwise parity with the oracle
-        row_term = rowpen_ref[0, 0, 5]
-
-    # analytic DP column 0 of the previous row
-    a0_prev = jnp.where(row == 1,
-                        jnp.zeros((8, 128), jnp.float32),
-                        jnp.full((8, 128), NEG))
+        # row_term (= row * slope * eps) is a precomputed rowpen slot:
+        # no in-kernel mul may feed the bias sub, or the compiler can
+        # contract it into an FMA and break bitwise oracle parity
+        row_term = [rowpen_ref[0, r, 5] for r in range(R)]
+    row_valid = [la_v >= i * R + r + 1 for r in range(R)]
+    is_last_row = [la_v == i * R + r + 1 for r in range(R)]
 
     def col_block(jb, carry):
-        A_pm1, GA_pm1, GB_pm1, A_cur, GA_cur, goB_prev = carry
-        dec_acc = jnp.zeros((8, 128), jnp.int32)
+        Sup, Scur, goB_prev = carry
+        dec_accs = [jnp.zeros((8, 128), jnp.int32) for _ in range(R)]
         for u in range(unroll):
-            j = jb * unroll + u          # 0-based; DP column j+1
-            jdp = j + 1
-            A_p = S_ref[0, j]
-            GA_p = S_ref[1, j]
-            GB_p = S_ref[2, j]
-            m = match_ref[0, 0, j]
-            # goB[j-1] is the previous iteration's goB[j] (carried;
-            # the row-entry value goB[0] rides in the bias block) —
-            # one VMEM load and one resident colpen slot fewer per cell
-            goB_jm1 = goB_prev
+            j = jb * unroll + u          # tile-local 0-based column
+            g = ct * L2t + j             # global 0-based; DP column g+1
+            A_sp = S_ref[0, g]           # row i*R state at DP col g+1
+            GA_sp = S_ref[1, g]
+            GB_sp = S_ref[2, g]
             goB_j = colpen_ref[0, 0, j]
             geB_j = colpen_ref[0, 1, j]
             tgeB_j = colpen_ref[0, 2, j]
+            is_term_col = lb_v == g + 1
             if with_bias:
-                # cols_eps (= jdp * eps) is a precomputed colpen slot:
-                # an in-kernel mul feeding the sub would FMA-contract
-                # (observed 1-ulp drift vs the oracle), a sub alone
-                # cannot
-                m = m - jnp.abs(colpen_ref[0, 3, j] - row_term)
+                # cols_eps (= (g+1) * eps) is a precomputed colpen
+                # slot: an in-kernel mul feeding the sub would
+                # FMA-contract (observed 1-ulp drift vs the oracle)
+                cols_eps_j = colpen_ref[0, 3, j]
 
-            # --- A ---
-            diagA = A_pm1
-            diagGA = GA_pm1 + goB_jm1
-            diagGB = GB_pm1 + goA_prev
-            best01 = jnp.maximum(diagA, diagGA)
-            A_new = jnp.maximum(best01, diagGB) + m
+            diag = Sup                   # row above, DP col g
+            up = (A_sp, GA_sp, GB_sp)    # row above, DP col g+1
+            new_scur = []
+            for r in range(R):
+                leftA, leftGA, _ = Scur[r]
+                m = match_ref[0, r, j]
+                if with_bias:
+                    m = m - jnp.abs(cols_eps_j - row_term[r])
 
-            # --- GB (prev row only); cols 0 and lb are terminal ---
-            is_term_col = lb_v == jdp
-            ge_eff = jnp.where(is_term_col, tgeA_i, geA_i)
-            go_eff = jnp.where(is_term_col, tgeA_i, goA_i)
-            gb_e = GB_p + ge_eff
-            gb_o = A_p + go_eff
-            GB_new = jnp.maximum(gb_e, gb_o)
+                # --- A ---
+                diagA, diagGA, diagGB = diag
+                dGA = diagGA + goB_prev
+                dGB = diagGB + goA_prev[r]
+                best01 = jnp.maximum(diagA, dGA)
+                A_new = jnp.maximum(best01, dGB) + m
 
-            # --- GA (current row, direct recurrence) ---
-            ge_row = jnp.where(is_last_row, tgeB_j, geB_j)
-            go_row = jnp.where(is_last_row, tgeB_j, goB_j)
-            ga_e = GA_cur + ge_row
-            ga_o = A_cur + go_row
-            GA_new = jnp.maximum(ga_e, ga_o)
+                # --- GB (from the row above at this column) ---
+                ge_eff = jnp.where(is_term_col, tgeA_i[r], geA_i[r])
+                go_eff = jnp.where(is_term_col, tgeA_i[r], goA_i[r])
+                gb_e = up[2] + ge_eff
+                gb_o = up[0] + go_eff
+                GB_new = jnp.maximum(gb_e, gb_o)
 
-            if with_dec:
-                # reference MAX3 keeps the LATER operand on ties;
-                # gap decisions open on ties (strict > for extend)
-                dec = jnp.where(diagGA >= diagA, 1, 0)
-                dec = jnp.where(diagGB >= best01, 2, dec)
-                dec = dec | jnp.where(ga_e > ga_o, DEC_GA_EXT, 0)
-                dec = dec | jnp.where(gb_e > gb_o, DEC_GB_EXT, 0)
-                dec_acc = dec_acc | (dec << (4 * u))
+                # --- GA (direct in-row recurrence) ---
+                ge_row = jnp.where(is_last_row[r], tgeB_j, geB_j)
+                go_row = jnp.where(is_last_row[r], tgeB_j, goB_j)
+                ga_e = leftGA + ge_row
+                ga_o = leftA + go_row
+                GA_new = jnp.maximum(ga_e, ga_o)
 
-            # freeze state beyond row la (the final extraction reads
-            # each problem's row-la values)
-            S_ref[0, j] = jnp.where(row_valid, A_new, A_p)
-            S_ref[1, j] = jnp.where(row_valid, GA_new, GA_p)
-            S_ref[2, j] = jnp.where(row_valid, GB_new, GB_p)
+                if with_dec:
+                    # reference MAX3 keeps the LATER operand on ties;
+                    # gap decisions open on ties (strict > for extend)
+                    dec = jnp.where(dGA >= diagA, 1, 0)
+                    dec = jnp.where(dGB >= best01, 2, dec)
+                    dec = dec | jnp.where(ga_e > ga_o, DEC_GA_EXT, 0)
+                    dec = dec | jnp.where(gb_e > gb_o, DEC_GB_EXT, 0)
+                    dec_accs[r] = dec_accs[r] | (dec << (4 * u))
 
-            A_pm1, GA_pm1, GB_pm1 = A_p, GA_p, GB_p
-            A_cur = jnp.where(row_valid, A_new, A_p)
-            GA_cur = jnp.where(row_valid, GA_new, GA_p)
+                # freeze state beyond row la (the final extraction
+                # reads each problem's row-la values)
+                eff = (jnp.where(row_valid[r], A_new, up[0]),
+                       jnp.where(row_valid[r], GA_new, up[1]),
+                       jnp.where(row_valid[r], GB_new, up[2]))
+                diag = Scur[r]           # next row's diag: row r @ col g
+                up = eff                 # next row's up: row r @ col g+1
+                new_scur.append(eff)
+
+            S_ref[0, g] = up[0]          # block's last row -> next block
+            S_ref[1, g] = up[1]
+            S_ref[2, g] = up[2]
+            Sup = (A_sp, GA_sp, GB_sp)
+            Scur = tuple(new_scur)
             goB_prev = goB_j
         if with_dec:
-            dec_ref[0, 0, jb] = dec_acc
-        return (A_pm1, GA_pm1, GB_pm1, A_cur, GA_cur, goB_prev)
+            for r in range(R):
+                dec_ref[0, r, jb] = dec_accs[r]
+        return (Sup, Scur, goB_prev)
 
-    neg = jnp.full((8, 128), NEG)
-    goB0 = bias_ref[0, 1]
-    init = (a0_prev, neg, gb0_prev, neg, neg, goB0)
-    jax.lax.fori_loop(0, L2p // unroll, col_block, init)
+    Sup0 = (bnd_ref[0, 0], bnd_ref[0, 1], bnd_ref[0, 2])
+    Scur0 = tuple((bnd_ref[1 + r, 0], bnd_ref[1 + r, 1], bnd_ref[1 + r, 2])
+                  for r in range(R))
+    Sup, Scur, goB_prev = jax.lax.fori_loop(
+        0, L2t // unroll, col_block, (Sup0, Scur0, gpb_ref[0]))
 
-    @pl.when(i == L1p - 1)
+    # hand the tile boundary to the next grid step (ct+1); the last
+    # tile's write is consumed by no one (the next step re-inits)
+    bnd_ref[0, 0], bnd_ref[0, 1], bnd_ref[0, 2] = Sup
+    for r in range(R):
+        bnd_ref[1 + r, 0], bnd_ref[1 + r, 1], bnd_ref[1 + r, 2] = Scur[r]
+    gpb_ref[0] = goB_prev
+
+    @pl.when((i == L1R - 1) & (ct == CT - 1))
     def _finish():
         def extract(j, acc):
             end_a, end_ga, end_gb = acc
@@ -226,13 +308,16 @@ def _to_lanes(x):
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "with_dec", "with_bias",
-                                    "unroll"))
+                                    "unroll", "plan"))
 def gotoh_forward_lanewise(match, pens_cols, pens_rows, la, lb,
                            interpret=False, with_dec=True,
                            slope=None, bias_eps=None, with_bias=True,
-                           unroll=PACK):
+                           unroll=PACK, plan=None):
     """match [B, L1p, L2p] f32; pens_cols [B, 3, L2p+1];
     pens_rows [B, 3, L1p+1]; la, lb [B] int32; B a multiple of 1024.
+
+    plan: optional static (R, L2t) row-block / column-tile override;
+    defaults to lanewise_plan's choice.
 
     Returns (dec, score [B], end_state [B]).  dec is the packed
     [NB, L1p, L2p//4, 8, 128] int32 nibble layout (cell (b, i, j) with
@@ -241,11 +326,19 @@ def gotoh_forward_lanewise(match, pens_cols, pens_rows, la, lb,
     tpu/gotoh.py (row r = DP row r+1, col c = DP column c+1)."""
     B, L1p, L2p = match.shape
     assert B % BT == 0, (B, BT)
-    assert L2p % unroll == 0, (L2p, unroll)
     # the nibble-packed decision layout is defined by PACK; the
     # walkers/unpackers decode with PACK, so a different unroll is
     # only legal when decisions are off
     assert unroll == PACK or not with_dec, (unroll, PACK)
+    if plan is None:
+        R, L2t, ok = lanewise_plan(B, L1p, L2p)
+        assert ok, ("no feasible lanewise plan", B, L1p, L2p)
+    else:
+        R, L2t = plan
+    assert L1p % R == 0 and L2p % L2t == 0, (L1p, R, L2p, L2t)
+    assert L2t % unroll == 0, (L2t, unroll)
+    CT = L2p // L2t
+    L1R = L1p // R
     NB = B // BT
 
     if slope is None:
@@ -265,13 +358,12 @@ def gotoh_forward_lanewise(match, pens_cols, pens_rows, la, lb,
     goB = pens_cols[:, 0, :]
     geB = pens_cols[:, 1, :]
     tgeB = pens_cols[:, 2, :]
-    cols_eps = (jnp.arange(1, L2p + 1, dtype=jnp.float32)[None, :]
-                * bias_eps.astype(jnp.float32)[:, None])
-    colpen = _to_lanes(jnp.stack([
-        goB[:, 1:L2p + 1],
-        geB[:, 1:L2p + 1],
-        tgeB[:, 1:L2p + 1],
-        cols_eps], axis=1))                    # [NB, 4, L2p, 8, 128]
+    ncp = 4 if with_bias else 3
+    cp = [goB[:, 1:L2p + 1], geB[:, 1:L2p + 1], tgeB[:, 1:L2p + 1]]
+    if with_bias:
+        cp.append(jnp.arange(1, L2p + 1, dtype=jnp.float32)[None, :]
+                  * bias_eps.astype(jnp.float32)[:, None])
+    colpen = _to_lanes(jnp.stack(cp, axis=1))  # [NB, ncp, L2p, 8, 128]
 
     cols = jnp.arange(1, L2p + 1)[None, :]
     C_term = jnp.cumsum(tgeB[:, 1:], axis=1)
@@ -288,40 +380,48 @@ def gotoh_forward_lanewise(match, pens_cols, pens_rows, la, lb,
     row_term = rows_f * slope_eps[:, None]     # exact mul, outside kernel
     rowpen = _to_lanes(jnp.stack([
         goA[:, 1:], geA[:, 1:], tgeA[:, 1:],
-        goA[:, :L1p], gb0_prev, row_term], axis=1))  # [NB, 6, L1p, 8, 128]
-    rowpen = jnp.transpose(rowpen, (0, 2, 1, 3, 4))  # [NB, L1p, 6, 8, 128]
+        goA[:, :L1p], gb0_prev, row_term,
+        cum_tgeA], axis=1))                          # [NB, 7, L1p, 8, 128]
+    rowpen = jnp.transpose(rowpen, (0, 2, 1, 3, 4))  # [NB, L1p, 7, 8, 128]
 
-    grid = (NB, L1p)
-    kernel = functools.partial(_kernel, L1p=L1p, L2p=L2p,
+    grid = (NB, L1R, CT)
+    kernel = functools.partial(_kernel, L1p=L1p, L2p=L2p, L2t=L2t,
+                               R=R, CT=CT,
                                with_dec=with_dec, with_bias=with_bias,
                                unroll=unroll)
-    L2p4 = L2p // unroll
-    dec_shape = (NB, L1p, L2p4, 8, 128) if with_dec else (NB, 1, 1, 8, 128)
-    dec_map = ((lambda b, i: (b, i, 0, 0, 0)) if with_dec
-               else (lambda b, i: (b, 0, 0, 0, 0)))
+    L2t4 = L2t // unroll
+    dec_shape = ((NB, L1p, L2p // unroll, 8, 128) if with_dec
+                 else (NB, 1, 1, 8, 128))
+    dec_map = ((lambda b, i, ct: (b, i, ct, 0, 0)) if with_dec
+               else (lambda b, i, ct: (b, 0, 0, 0, 0)))
     dec, score, state = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 2, 8, 128), lambda b, i: (b, 0, 0, 0),
+            pl.BlockSpec((1, 2, 8, 128), lambda b, i, ct: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, 8, 128), lambda b, i: (b, 0, 0, 0),
+            pl.BlockSpec((1, 2, 8, 128), lambda b, i, ct: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, L2p, 8, 128), lambda b, i: (b, i, 0, 0, 0),
+            pl.BlockSpec((1, R, L2t, 8, 128),
+                         lambda b, i, ct: (b, i, ct, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 6, 8, 128), lambda b, i: (b, i, 0, 0, 0),
+            pl.BlockSpec((1, R, 7, 8, 128),
+                         lambda b, i, ct: (b, i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, L2p, 8, 128), lambda b, i: (b, 0, 0, 0, 0),
+            pl.BlockSpec((1, ncp, L2t, 8, 128),
+                         lambda b, i, ct: (b, 0, ct, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, L2p, 8, 128), lambda b, i: (b, 0, 0, 0, 0),
+            pl.BlockSpec((1, 1, L2t, 8, 128),
+                         lambda b, i, ct: (b, 0, ct, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, L2p4 if with_dec else 1, 8, 128), dec_map,
+            pl.BlockSpec((1, R, L2t4, 8, 128) if with_dec
+                         else (1, 1, 1, 8, 128), dec_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8, 128), lambda b, i: (b, 0, 0, 0),
+            pl.BlockSpec((1, 1, 8, 128), lambda b, i, ct: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8, 128), lambda b, i: (b, 0, 0, 0),
+            pl.BlockSpec((1, 1, 8, 128), lambda b, i, ct: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -331,6 +431,8 @@ def gotoh_forward_lanewise(match, pens_cols, pens_rows, la, lb,
         ],
         scratch_shapes=[
             pltpu.VMEM((3, L2p, 8, 128), jnp.float32),
+            pltpu.VMEM((R + 1, 3, 8, 128), jnp.float32),
+            pltpu.VMEM((1, 8, 128), jnp.float32),
         ],
         interpret=interpret,
     )(lab, biasv, m5, rowpen, colpen, ga0)

@@ -32,6 +32,12 @@ def test_bpm_pallas_bit_exact_vs_xla():
                                       peq, jnp.asarray(m), max_steps,
                                       bt=1024))
     assert np.array_equal(out, ref)
+    # static nblk sized to the longest pattern (m < 290 -> 5 blocks):
+    # identical distances at a fraction of the per-character block work
+    out5 = np.asarray(bpm_batch_pallas(jnp.asarray(texts), jnp.asarray(n),
+                                       peq, jnp.asarray(m), max_steps,
+                                       bt=1024, nblk=5))
+    assert np.array_equal(out5, ref)
 
 
 if __name__ == "__main__":

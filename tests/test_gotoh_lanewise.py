@@ -123,9 +123,41 @@ def test_lanewise_degenerate_lb0():
 def test_lanewise_feasibility_rule():
     assert lanewise_feasible(1024, 256, 128)
     assert lanewise_feasible(4096, 128, 256)
+    # round 5: column tiling makes mid-size merges qualify (the
+    # 384x384 steady-state bench shape — VERDICT r4 item 1a)
+    assert lanewise_feasible(1024, 384, 384)
+    assert lanewise_feasible(1024, 512, 512)
     assert not lanewise_feasible(512, 128, 128)      # sub-tile batch
     assert not lanewise_feasible(1536, 128, 128)     # not a tile multiple
-    assert not lanewise_feasible(1024, 128, 1024)    # VMEM blowup
+    assert not lanewise_feasible(1024, 128, 1024)    # state-scratch blowup
+
+
+@pytest.mark.parametrize("plan", [(1, 32), (2, 16), (4, 8), (4, 32),
+                                  (8, 16)])
+def test_lanewise_row_blocks_and_column_tiles_bitwise(plan):
+    """Every (R rows-per-step, L2t column-tile) plan computes the same
+    cells in the same float op order — decisions, scores and end
+    states must stay BITWISE equal to the oracle (the plan only
+    changes the register/VMEM schedule, never the math)."""
+    B, L1p, L2p = BT, 24, 32
+    match, pc, pr, la, lb = _random_problem(11, B, L1p, L2p)
+    slope = (lb / np.maximum(la, 1)).astype(np.float32)
+    eps = np.full(B, 0.01, np.float32)
+    dec_p, score, st = gotoh_forward_lanewise(
+        jnp.asarray(match), jnp.asarray(pc), jnp.asarray(pr),
+        jnp.asarray(la), jnp.asarray(lb), interpret=True,
+        slope=jnp.asarray(slope), bias_eps=jnp.asarray(eps), plan=plan)
+    dec_o, score_o, st_o = gotoh_forward_direct_np(
+        match, pc, pr, la, lb, slope, eps)
+    assert np.array_equal(np.asarray(score).view(np.int32),
+                          score_o.view(np.int32))
+    assert np.array_equal(np.asarray(st), st_o)
+    dec_k = unpack_dec_lanewise(np.asarray(dec_p), L2p)
+    for b in range(B):
+        if lb[b] == 0:
+            continue
+        assert np.array_equal(dec_k[b, :la[b], :lb[b]],
+                              dec_o[b, :la[b], :lb[b]]), b
 
 
 def test_lanewise_tie_heavy_bitwise():

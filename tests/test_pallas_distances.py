@@ -37,7 +37,13 @@ def test_index_chunk_logic_matches_host(monkeypatch):
     from kalign_tpu.parallel import mesh as M
     from kalign_tpu.tpu import bpm, bpm_pallas
 
-    def shim(texts, n, peq, m, max_steps, bt=1024, interpret=False):
+    def shim(texts, n, peq, m, max_steps, bt=1024, interpret=False,
+             nblk=bpm.NBLK):
+        # pad the nblk-sliced Peq back to NBLK for the XLA oracle
+        if peq.shape[2] < bpm.NBLK:
+            import jax.numpy as jnp
+            peq = jnp.pad(peq, ((0, 0), (0, 0),
+                                (0, bpm.NBLK - peq.shape[2]), (0, 0)))
         return bpm.bpm_batch(texts, n, peq, m, max_steps)
 
     monkeypatch.setattr(bpm_pallas, "bpm_batch_pallas", shim)
