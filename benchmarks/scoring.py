@@ -62,9 +62,11 @@ def available_external_tools():
     return [t for t in _EXTERNAL if _tool_available(t)]
 
 
-def score_external(tool, seqs, names, gold_rows, gold_names, timeout=600):
-    """Align with an external tool (if installed) and score against the
-    same gold; returns None when the tool is unavailable."""
+def align_external(tool, seqs, names, timeout=600):
+    """Align with an external tool (if installed); returns
+    (aligned_rows, row_names, wall_s) or None when the tool is missing
+    or fails.  Used by both the scoring path and the gap-structure
+    analysis (benchmarks/analysis.py)."""
     if not _tool_available(tool):
         return None
     from kalign_tpu.core import io as kio
@@ -92,7 +94,17 @@ def score_external(tool, seqs, names, gold_rows, gold_names, timeout=600):
         m = kio.read_alignment(fout)
         if m.aligned == 2:
             m.finalise()
-        d = _detailed(gold_rows, gold_names, [s.seq for s in m.sequences],
-                      [s.name for s in m.sequences])
-        return dict(tool=tool, wall_s=round(wall, 3), sp=round(d.recall, 4),
-                    tc=round(d.tc, 4))
+        return ([s.seq for s in m.sequences],
+                [s.name for s in m.sequences], wall)
+
+
+def score_external(tool, seqs, names, gold_rows, gold_names, timeout=600):
+    """Align with an external tool (if installed) and score against the
+    same gold; returns None when the tool is unavailable."""
+    a = align_external(tool, seqs, names, timeout)
+    if a is None:
+        return None
+    rows, row_names, wall = a
+    d = _detailed(gold_rows, gold_names, rows, row_names)
+    return dict(tool=tool, wall_s=round(wall, 3), sp=round(d.recall, 4),
+                tc=round(d.tc, 4))
