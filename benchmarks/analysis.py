@@ -260,10 +260,15 @@ def main(argv=None):
     sig = significance_table(rows, baseline)
     print_tables(per_cat, overall, sig, skipped)
     if args.json:
+        from benchmarks.downstream.provenance import collect
         with open(args.json, "w") as fh:
             json.dump(dict(rows=rows, per_category=per_cat,
                            overall=overall, significance=sig,
-                           baseline=baseline, skipped=skipped), fh,
+                           baseline=baseline, skipped=skipped,
+                           provenance=collect(
+                               parameters=dict(dataset=args.dataset,
+                                               configs=args.configs),
+                               devices=False)), fh,
                       indent=1)
             fh.write("\n")
     return 0
