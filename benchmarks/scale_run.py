@@ -87,6 +87,11 @@ def main(argv=None):
                     help="also write the result line to this file")
     ap.add_argument("--out-msa", default=None,
                     help="keep the alignment (default: discard)")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="run the pipeline N times in THIS process and "
+                         "report every wall (run 1 = cold: compiles + "
+                         "first-execution program loads; later runs = "
+                         "warm, the kalign_tpu.serve production number)")
     args = ap.parse_args(argv)
 
     os.environ.setdefault("KALIGN_TPU_TIMING_DETAIL", "1")
@@ -115,28 +120,41 @@ def main(argv=None):
         def flush(self):
             sys.__stderr__.flush()
 
-    t0 = time.time()
-    try:
-        with contextlib.redirect_stderr(_Tee()):
-            rc = kcli.main(argv_cli)
-    except SystemExit as e:  # argparse errors inside the CLI
-        rc = e.code if isinstance(e.code, int) else 2
-    wall = time.time() - t0
-    if rc not in (0, None):
-        line = json.dumps({"error": f"cli rc={rc}", "wall_s": wall})
-        print(line)
-        if args.out:  # automation must see the failure, not a stale file
-            with open(args.out, "w") as f:
-                f.write(line + "\n")
-        return 1
+    walls = []
+    phase_logs = []
+    for rep in range(max(args.repeat, 1)):
+        cap.seek(0)
+        cap.truncate(0)
+        t0 = time.time()
+        try:
+            with contextlib.redirect_stderr(_Tee()):
+                rc = kcli.main(argv_cli)
+        except SystemExit as e:  # argparse errors inside the CLI
+            rc = e.code if isinstance(e.code, int) else 2
+        wall = time.time() - t0
+        if rc not in (0, None):
+            line = json.dumps({"error": f"cli rc={rc}", "wall_s": wall,
+                               "repeat": rep})
+            print(line)
+            if args.out:  # automation must see the failure, not stale data
+                with open(args.out, "w") as f:
+                    f.write(line + "\n")
+            return 1
+        walls.append(round(wall, 2))
+        phase_logs.append(parse_phase_log(cap.getvalue()))
 
     result = {
         "n": args.n, "length": args.length,
         "alphabet": "dna" if args.dna else "protein",
         "mode": args.mode, "engine": args.engine,
-        "wall_s": round(wall, 2),
-        "phases": parse_phase_log(cap.getvalue()),
+        "wall_s": walls[0],
+        "phases": phase_logs[0],
     }
+    if len(walls) > 1:
+        # warm = the last repeat (everything compiled + loaded)
+        result["walls"] = walls
+        result["warm_wall_s"] = walls[-1]
+        result["warm_phases"] = phase_logs[-1]
     if args.trace:
         try:
             from kalign_tpu.utils.devtime import device_seconds
