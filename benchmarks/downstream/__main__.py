@@ -14,6 +14,12 @@ import numpy as np
 
 
 def main(argv=None):
+    argv = sys.argv[1:] if argv is None else list(argv)
+    # subcommand dispatch (reference __main__.py shape:
+    # `python -m benchmarks.downstream alignment_accuracy -j 8`)
+    if argv and argv[0] in ("accuracy", "alignment_accuracy"):
+        from benchmarks.downstream.accuracy import main as acc_main
+        return acc_main(argv[1:])
     p = argparse.ArgumentParser(prog="benchmarks.downstream")
     p.add_argument("--engine", default="host",
                    choices=["host", "tpu", "tpu-fast"])
