@@ -17,6 +17,7 @@ against the host engine in tests.
 """
 
 import functools
+import os
 from typing import List, Optional
 
 import numpy as np
@@ -938,14 +939,16 @@ class TpuEngine:
                                           eff.gpe, eff.tgpe, eff.subm_offset)
         return profiles[node]
 
-    # Map-building pairwise DPs use a STRONGER centering bias than the
-    # progressive merges: consistency maps are voted on across sequences,
-    # and systematically midpoint-centered paths (what the reference's
-    # Hirschberg recursion produces implicitly) agree far better at
-    # ambiguous regions.  0.01 recovers Hirschberg-map quality on the
-    # divergent BAliBASE RV30 family (TC 0.40 -> 0.45 vs host 0.47)
-    # without moving the well-behaved families.
-    MAP_EPS = 1e-2
+    # Map-building pairwise DPs use a centering bias like the progressive
+    # merges: consistency maps are voted on across sequences, and
+    # systematically midpoint-centered paths (what the reference's
+    # Hirschberg recursion produces implicitly) agree better at ambiguous
+    # regions.  Round-3 set this to 1e-2 (TC 0.40 -> 0.45 on BB30014);
+    # round-5 ablation shows that overcorrected: with the v2 kernels,
+    # eps=0 on the MAP DPs measures TC 0.462 vs host 0.467 on BB30014
+    # (1e-2: 0.452) and is neutral-or-better on the rest of the registry.
+    # KALIGN_TPU_MAP_EPS overrides (float).
+    MAP_EPS = float(os.environ.get("KALIGN_TPU_MAP_EPS", "0.0"))
 
     @staticmethod
     def _maps_from_steps_batch(steps, nsteps, swapped, li, Lmax):
