@@ -138,21 +138,40 @@ def _fused_forward(lhs, rhs, pc, pr, la, lb, bias_eps, bonus, bt,
     return dec[:, 1:, 1:], score, st
 
 
-@functools.partial(jax.jit, static_argnames=("with_dec", "interpret"))
+@functools.partial(jax.jit, static_argnames=("with_dec", "interpret", "nc"))
 def _fused_forward_lanewise(lhs, rhs, pc, pr, la, lb, bias_eps, bonus,
-                            with_dec=True, interpret=False):
+                            with_dec=True, interpret=False, nc=0):
     """Lanewise-kernel variant of _fused_forward for full-tile batches
     (B a multiple of 1024; tpu/gotoh_lanewise.py): same MXU matmul +
     consistency-bonus semantics, then the problem-per-lane forward.
     Returns the packed-nibble decision layout — walk with
     traceback_packed_lanewise.
 
+    nc > 0 (live alphabet width, see TpuEngine._live_nc): bonus-free
+    batches skip the match materialisation entirely — the FUSED kernel
+    computes the match in-kernel from the nc-sliced operand streams
+    (exact slicing: the counts side is zero beyond the alphabet).
+
     Float note: with no bonus, the centering bias fuses into the
     kernel as |j*eps - i*(slope*eps)|, which rounds differently from
     the XLA pass's |j - i*slope|*eps — near-score-ties may resolve
     differently between the lanewise and row paths (both are
-    score-optimal; the tpu-fast engines carry that contract)."""
-    from kalign_tpu.tpu.gotoh_lanewise import gotoh_forward_lanewise
+    score-optimal; the tpu-fast engines carry that contract).  The
+    fused kernel's in-kernel multiply-add chain is the same contract
+    class vs the producer matmul's MXU accumulation."""
+    from kalign_tpu.tpu.gotoh_lanewise import (fused_feasible,
+                                               gotoh_forward_fused,
+                                               gotoh_forward_lanewise)
+    if bonus is None and nc:
+        B, L1p, _ = lhs.shape
+        L2p = rhs.shape[1]
+        if fused_feasible(B, L1p, L2p, nc):
+            slope = (lb.astype(jnp.float32)
+                     / jnp.maximum(la.astype(jnp.float32), 1.0))
+            return gotoh_forward_fused(
+                lhs[:, :, :nc], rhs[:, :, :nc], pc, pr, la, lb,
+                with_dec=with_dec, slope=slope, bias_eps=bias_eps,
+                with_bias=True, interpret=interpret)
     match, slope, bias_eps = _prepare_match(lhs, rhs, la, lb, bias_eps,
                                             bonus)
     return gotoh_forward_lanewise(match, pc, pr, la, lb, with_dec=with_dec,
@@ -217,6 +236,30 @@ class TpuEngine:
         # for the row kernel (bt=128/R=16 plan) — the in-row prefix
         # scan and decision packing dominate the row kernel there.
         self.lanewise = os.environ.get("KALIGN_TPU_LANEWISE", "1")
+        # fused-operand kernel (no materialised match): "1" (default) =
+        # on for narrow alphabets (DNA/RNA, nc <= 8) where the
+        # in-kernel chain is ~5 multiply-adds/cell; "all" = any
+        # feasible nc (protein 23 — measure before enabling by
+        # default); "0" = off
+        self.fused = os.environ.get("KALIGN_TPU_FUSED", "1")
+        self.nc = 0          # set per align() from the live alphabet
+
+    def _live_nc(self, subm, max_code: int) -> int:
+        """Live alphabet width for the fused kernel: nc=5 when the
+        substitution matrix is zero beyond the 5-letter nucleotide
+        block AND every token code is < 5 (both required for exact
+        nc-slicing: the counts side must be zero beyond nc), else 23.
+        Returns 0 when the fused path is disabled for this width."""
+        s = np.asarray(subm)
+        nc = 23
+        if (max_code < 5 and s.shape[0] >= 5
+                and not np.any(s[5:, :]) and not np.any(s[:, 5:])):
+            nc = 5
+        if self.fused == "all":
+            return nc
+        if self.fused == "1" and nc <= 8:
+            return nc
+        return 0
 
     def _lanewise_ok(self, Bp: int, L1p: int, L2p: int) -> bool:
         if self.lanewise not in ("1", "interpret"):
@@ -432,7 +475,7 @@ class TpuEngine:
                     jnp.asarray(lhs), jnp.asarray(rhs), jnp.asarray(pc),
                     jnp.asarray(pr), jnp.asarray(la), jnp.asarray(lb),
                     jnp.asarray(eps), bonus_dev,
-                    interpret=not self.use_pallas)
+                    interpret=not self.use_pallas, nc=self.nc)
                 packed = traceback_packed_lanewise(
                     dec, jnp.asarray(la), jnp.asarray(lb), st, score,
                     max_steps)
@@ -602,6 +645,8 @@ class TpuEngine:
         meetup margin); pass 2 replays the tree, spending the full
         candidate budget only on the flagged merges."""
         sd = None if seq_distances is None else np.asarray(seq_distances)
+        max_code = max((int(np.max(c)) for c in codes if len(c)), default=0)
+        self.nc = self._live_nc(ap.subm, max_code)
 
         ct = None
         if ap.consistency_anchors > 0:
@@ -1108,7 +1153,7 @@ class TpuEngine:
                     # kernel
                     dec, score, st = _fused_forward_lanewise(
                         lhs, rhs, pc, pr, la_d, lb_d, eps, None,
-                        interpret=not self.use_pallas)
+                        interpret=not self.use_pallas, nc=self.nc)
                     packed = traceback_packed_lanewise(
                         dec, la_d, lb_d, st, score, L1p + L2p + 2)
                 else:

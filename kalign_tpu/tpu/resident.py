@@ -145,11 +145,12 @@ def _produce_operands(live_counts, live_subrows, live_pen, tokens,
             acc = acc + jnp.where(eq, term, 0.0)
 
     sides = (r_counts, r_subrows, r_pen, c_counts, c_subrows, c_pen)
-    return sides, match, pc, pr, slope, acc
+    return sides, (lhs, rhs), match, pc, pr, slope, acc
 
 
-def _forward_traceback(match_raw, acc, pc, pr, la, lb, slope, eps,
-                       L1p, L2p, S, use_pallas, bt, R, lanewise="off"):
+def _forward_traceback(match_raw, operands, acc, pc, pr, la, lb, slope, eps,
+                       L1p, L2p, S, use_pallas, bt, R, lanewise="off",
+                       nc=0):
     """Centering bias + forward DP + packed traceback for one candidate.
     With a consistency accumulator the bias folds into the match in XLA
     (same float order as the pre-refactor fused path: (raw - dev*eps)
@@ -158,7 +159,12 @@ def _forward_traceback(match_raw, acc, pc, pr, la, lb, slope, eps,
     lanewise: "off" | "on" | "interpret" — full-tile batches of small
     problems (leaf-heavy levels at 16k-100k scale) take the
     problem-per-lane kernel (tpu/gotoh_lanewise.py, no in-row scan);
-    "interpret" is the CPU differential-test mode."""
+    "interpret" is the CPU differential-test mode.
+
+    nc > 0 (live alphabet width): bonus-free lanewise batches take the
+    FUSED kernel — the match matmul above becomes dead code (XLA DCEs
+    it) and the kernel computes the match from the nc-sliced operand
+    streams (gotoh_forward_fused)."""
     match = match_raw
     if acc is not None:
         ii = jnp.arange(1, L1p + 1, dtype=jnp.float32)[None, :, None]
@@ -169,12 +175,22 @@ def _forward_traceback(match_raw, acc, pc, pr, la, lb, slope, eps,
         eps = jnp.zeros_like(eps)
 
     if lanewise != "off":
-        from kalign_tpu.tpu.gotoh_lanewise import gotoh_forward_lanewise
+        from kalign_tpu.tpu.gotoh_lanewise import (fused_feasible,
+                                                   gotoh_forward_fused,
+                                                   gotoh_forward_lanewise)
         from kalign_tpu.tpu.traceback import traceback_lanewise
-        dec, score, st = gotoh_forward_lanewise(
-            match, pc, pr, la, lb, with_dec=True,
-            slope=slope, bias_eps=eps,
-            interpret=(lanewise == "interpret"))
+        lhs, rhs = operands if operands is not None else (None, None)
+        if (acc is None and nc and lhs is not None
+                and fused_feasible(lhs.shape[0], L1p, L2p, nc)):
+            dec, score, st = gotoh_forward_fused(
+                lhs[:, :, :nc], rhs[:, :, :nc], pc, pr, la, lb,
+                with_dec=True, slope=slope, bias_eps=eps,
+                interpret=(lanewise == "interpret"))
+        else:
+            dec, score, st = gotoh_forward_lanewise(
+                match, pc, pr, la, lb, with_dec=True,
+                slope=slope, bias_eps=eps,
+                interpret=(lanewise == "interpret"))
         steps_rc, nsteps = traceback_lanewise(dec, la, lb, st, S)
         return steps_rc, nsteps, score
 
@@ -282,7 +298,7 @@ def _merge_from_steps(steps_rc, nsteps, score, sides, swap_ab,
 @functools.partial(
     jax.jit,
     static_argnames=("L1p", "L2p", "S", "use_pallas", "bt", "R",
-                     "lanewise"))
+                     "lanewise", "nc"))
 def _bucket_step(live_counts, live_subrows, live_pen, tokens, tok_lens,
                  subm,
                  rows_slot, cols_slot, rows_leaf, cols_leaf,
@@ -290,7 +306,7 @@ def _bucket_step(live_counts, live_subrows, live_pen, tokens, tok_lens,
                  la, lb, soff, eff_pen, nsip_r, nsip_c,
                  sip_a, sip_b, base_pen, eps,
                  L1p, L2p, S, use_pallas, bt, R, bonus=None,
-                 lanewise="off"):
+                 lanewise="off", nc=0):
     """One level bucket, fully on device.
 
     Index arrays (all [B]): rows_slot/cols_slot into the live buffers
@@ -306,14 +322,14 @@ def _bucket_step(live_counts, live_subrows, live_pen, tokens, tok_lens,
     Returns steps [B, S] int8 (a/b space), nsteps [B], score [B], and
     the merged profile arrays [B, Lout=S-2, 23]/[B, Lout, 3].
     """
-    sides, match_raw, pc, pr, slope, acc = _produce_operands(
+    sides, operands, match_raw, pc, pr, slope, acc = _produce_operands(
         live_counts, live_subrows, live_pen, tokens, tok_lens, subm,
         rows_slot, cols_slot, rows_leaf, cols_leaf,
         rows_is_leaf, cols_is_leaf, cif,
         la, lb, soff, eff_pen, nsip_r, nsip_c, eps, L1p, L2p, bonus)
     steps_rc, nsteps, score = _forward_traceback(
-        match_raw, acc, pc, pr, la, lb, slope, eps,
-        L1p, L2p, S, use_pallas, bt, R, lanewise)
+        match_raw, operands, acc, pc, pr, la, lb, slope, eps,
+        L1p, L2p, S, use_pallas, bt, R, lanewise, nc)
     return _merge_from_steps(steps_rc, nsteps, score, sides, swap_ab,
                              sip_a, sip_b, base_pen, L1p, L2p, S)
 
@@ -380,7 +396,7 @@ def _sp_scores(steps_rc, nsteps, r_counts, c_counts, gaps_rows, gaps_cols,
 @functools.partial(
     jax.jit,
     static_argnames=("L1p", "L2p", "S", "K", "use_pallas", "bt", "R",
-                     "lanewise"))
+                     "lanewise", "nc"))
 def _bucket_step_refine(live_counts, live_subrows, live_pen, tokens,
                         tok_lens, subm,
                         rows_slot, cols_slot, rows_leaf, cols_leaf,
@@ -389,7 +405,7 @@ def _bucket_step_refine(live_counts, live_subrows, live_pen, tokens,
                         sip_a, sip_b, base_pen, eps_cands,
                         gaps_rows, gaps_cols,
                         L1p, L2p, S, K, use_pallas, bt, R, bonus=None,
-                        lanewise="off"):
+                        lanewise="off", nc=0):
     """Multi-candidate level bucket (refine=all), fully on device: the
     shared producer runs once, the forward DP + traceback run K times
     with different centering-bias strengths (eps_cands [B, K]), the
@@ -399,7 +415,7 @@ def _bucket_step_refine(live_counts, live_subrows, live_pen, tokens,
     feeds the shared merge tail.  Same return shape as _bucket_step,
     with the SP score of the selected candidate in the score slot (the
     host-assembled multi-candidate path reports SP there too)."""
-    sides, match_raw, pc, pr, slope, acc = _produce_operands(
+    sides, operands, match_raw, pc, pr, slope, acc = _produce_operands(
         live_counts, live_subrows, live_pen, tokens, tok_lens, subm,
         rows_slot, cols_slot, rows_leaf, cols_leaf,
         rows_is_leaf, cols_is_leaf, cif,
@@ -411,8 +427,8 @@ def _bucket_step_refine(live_counts, live_subrows, live_pen, tokens,
     all_steps, all_nsteps, all_sp = [], [], []
     for v in range(K):
         steps_v, nsteps_v, _ = _forward_traceback(
-            match_raw, acc, pc, pr, la, lb, slope, eps_cands[:, v],
-            L1p, L2p, S, use_pallas, bt, R, lanewise)
+            match_raw, operands, acc, pc, pr, la, lb, slope, eps_cands[:, v],
+            L1p, L2p, S, use_pallas, bt, R, lanewise, nc)
         sp_v = _sp_scores(steps_v, nsteps_v, r_counts, c_counts,
                           gaps_rows, gaps_cols, nsip_r, nsip_c, subm,
                           base_pen, L1p, L2p, S)
@@ -883,7 +899,7 @@ class ResidentPass:
                             L1p=L1p, L2p=L2p, S=S, K=len(cands),
                             use_pallas=use_pallas,
                             bt=min(bt, hi - lo), R=R, bonus=bonus,
-                            lanewise=lw_chunk(hi - lo))
+                            lanewise=lw_chunk(hi - lo), nc=eng.nc)
                         if citems:
                             multi_stash.append(
                                 ([task_index[it[0]] for it in citems],
@@ -895,7 +911,7 @@ class ResidentPass:
                             *common, jnp.asarray(eps_c),
                             L1p=L1p, L2p=L2p, S=S, use_pallas=use_pallas,
                             bt=min(bt, hi - lo), R=R, bonus=bonus,
-                            lanewise=lw_chunk(hi - lo)))
+                            lanewise=lw_chunk(hi - lo), nc=eng.nc))
                 # keep per-chunk outputs (concatenating the merged
                 # profile arrays would double the transient HBM peak at
                 # 10^5-sequence scale)

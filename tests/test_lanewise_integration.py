@@ -142,10 +142,10 @@ def test_resident_forward_traceback_lanewise():
     eps = jnp.full((B,), 1e-3, jnp.float32)
     S = L1p + L2p + 2
     s0, n0, sc0 = resident._forward_traceback(
-        match, None, pc, pr, la_d, lb_d, slope, eps,
+        match, None, None, pc, pr, la_d, lb_d, slope, eps,
         L1p, L2p, S, False, 8, 8, lanewise="off")
     s1, n1, sc1 = resident._forward_traceback(
-        match, None, pc, pr, la_d, lb_d, slope, eps,
+        match, None, None, pc, pr, la_d, lb_d, slope, eps,
         L1p, L2p, S, False, 8, 8, lanewise="interpret")
     np.testing.assert_allclose(np.asarray(sc0), np.asarray(sc1),
                                rtol=2e-5, atol=2e-4)
